@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+One place to set the engine's execution knobs so tests, bench and
+spark-submit jobs agree. Local-mode friendly but every setting is the
+one we'd ship to a multi-executor cluster (AQE, skew join, Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "osm-addr-bot-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the same entrypoint serves bench scaling runs at local[8]/local[32]
+    and, unchanged, a real cluster via spark-submit (where ``master`` is
+    supplied by the launcher and we must not override it).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+
+    if master is None and not os.environ.get("SPARK_SUBMIT_MODE"):
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if master and "[" in master else 32
+        except ValueError:
+            n = 32
+        shuffle_partitions = max(n, 8)
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
