@@ -1,0 +1,161 @@
+"""U5 — per-changeset discussion-comment composer, byte-exact.
+
+Reproduces the reference's ``compose_message`` (main.py:108-162):
+
+  * greeting for new users (changesets_count <= 15, config.py:42)
+  * category header, critical variant if any flagged check is critical
+  * per check (in registry definition order — the reference's dict
+    preserves ``cat.checks`` insertion order): desc, plus ' ' + extra
+    for non-pro users (pro = count >= 800, config.py:43)
+  * title groups: UNKNOWN_STREET_NAME with >= 3 entries groups by
+    street name, first-occurrence order, title '"<street>":'
+    (reference check.py:25-37); otherwise one untitled group
+  * links sorted node < way < relation, stable (main.py:19-23, 140)
+  * docs footer (category docs + per-check docs, skipped for pro users)
+  * sign-off variants (main.py:156-160)
+
+Entry order inside a group is the document's span sequence
+(doc_id, span_offset) — the deterministic analog of the reference's
+scan order.
+
+String assembly is not a hot path (one row per changeset); it runs as
+``applyInPandas`` over (category, changeset_id) groups — Arrow-batched,
+and the same pure function serves the golden tests directly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm_addr_bot_spark.config import NEW_USER_THRESHOLD, PRO_USER_THRESHOLD
+from osm_addr_bot_spark.checks.registry import all_categories
+
+LINK_SORT = {"node": 0, "way": 1, "relation": 2}
+
+
+def _meta(fidelity: bool = False):
+    """{category: (header, header_critical, docs, {check_id: (ord, desc,
+    extra, docs, critical)})}"""
+    out = {}
+    for cat in all_categories(fidelity):
+        checks = {
+            c.identifier: (i, c.desc, c.extra, c.docs, c.critical)
+            for i, c in enumerate(cat.checks)
+        }
+        out[cat.identifier] = (cat.header, cat.header_critical, cat.docs, checks)
+    return out
+
+
+def compose_message(
+    category: str,
+    issues: Iterable[dict],
+    changesets_count: int,
+    fidelity: bool = False,
+) -> str:
+    """Pure composer over issue dicts with keys: check_id, element_type,
+    element_id, street (addr:street or None), doc_id, span_offset."""
+    header, header_critical, cat_docs, checks = _meta(fidelity)[category]
+    new_user = changesets_count <= NEW_USER_THRESHOLD
+    pro_user = changesets_count >= PRO_USER_THRESHOLD
+
+    rows = sorted(issues, key=lambda r: (r["doc_id"], r["span_offset"]))
+    by_check: dict[str, list[dict]] = {}
+    for r in rows:
+        by_check.setdefault(r["check_id"], []).append(r)
+    ordered_checks = sorted(by_check, key=lambda cid: checks[cid][0])
+
+    message = ""
+    if new_user:
+        message += "🗺️ Witaj na OpenStreetMap!\n\n"
+
+    is_critical = any(checks[cid][4] for cid in ordered_checks)
+    message += (header_critical if is_critical else header) + "\n\n"
+
+    for cid in ordered_checks:
+        _, desc, extra, _, _ = checks[cid]
+        entries = by_check[cid]
+        if pro_user or extra is None:
+            message += desc + "\n"
+        else:
+            message += desc + " " + extra + "\n"
+
+        # title grouping (reference check.py:25-37)
+        groups: dict[str, list[dict]] = {}
+        if cid == "UNKNOWN_STREET_NAME" and len(entries) >= 3:
+            for e in entries:
+                groups.setdefault(f'"{e["street"]}":', []).append(e)
+        else:
+            groups[""] = entries
+
+        for title, title_entries in groups.items():
+            if title:
+                message += f"\n{title}\n"
+            for e in sorted(title_entries, key=lambda e: LINK_SORT[e["element_type"]]):
+                message += f"https://www.openstreetmap.org/{e['element_type']}/{e['element_id']}\n"
+        message += "\n"
+
+    docs = [d for d in [cat_docs] + [checks[cid][3] for cid in ordered_checks] if d]
+    if not pro_user and docs:
+        message += "\n\n".join(docs)
+        message += "\n\n"
+
+    if pro_user:
+        message += "Pozdrawiam! 🦀"
+    else:
+        message += "W razie problemów lub pytań, proszę pisać. Chętnie pomogę.\nPozdrawiam! 🦀"
+    return message
+
+
+REPORT_SCHEMA = (
+    "category string, changeset_id long, message string, n_issues long, is_critical boolean"
+)
+
+
+def compose_reports(
+    issues: DataFrame, users: DataFrame, changesets: DataFrame, fidelity: bool = False
+) -> DataFrame:
+    """issues (post all gates/dedup) -> one report row per
+    (category, changeset). Needs the author's changesets_count; the dims
+    are broadcast (J6/J7)."""
+    enriched = (
+        issues.join(F.broadcast(changesets.select("changeset_id", "cs_uid")), "changeset_id")
+        .join(
+            F.broadcast(users.selectExpr("user_uid as cs_uid", "changesets_count")),
+            "cs_uid",
+        )
+        .select(
+            "category",
+            "changeset_id",
+            "check_id",
+            "critical",
+            "element_type",
+            "element_id",
+            F.element_at(F.col("tags"), F.lit("addr:street")).alias("street"),
+            "doc_id",
+            "span_offset",
+            "changesets_count",
+        )
+    )
+
+    def _compose(pdf: pd.DataFrame) -> pd.DataFrame:
+        category = pdf["category"].iloc[0]
+        changeset_id = pdf["changeset_id"].iloc[0]
+        count = int(pdf["changesets_count"].iloc[0])
+        msg = compose_message(category, pdf.to_dict("records"), count, fidelity)
+        return pd.DataFrame(
+            [
+                {
+                    "category": category,
+                    "changeset_id": changeset_id,
+                    "message": msg,
+                    "n_issues": len(pdf),
+                    "is_critical": bool(pdf["critical"].any()),
+                }
+            ]
+        )
+
+    return enriched.groupBy("category", "changeset_id").applyInPandas(_compose, REPORT_SCHEMA)

@@ -1,0 +1,156 @@
+"""The full batch pipeline — the reference's ``main()`` (main.py:165-259)
+as one declarative DataFrame program.
+
+Stage order preserves the reference's semantics exactly:
+
+  scan+parse -> check fan-out -> should-discuss gate -> priority pass 1
+  -> spatial post stages (J1-J4) -> backlog merge (J8) -> open-changeset
+  split (ST3) -> guilt check (J5) -> priority pass 2 (per changeset)
+  -> user gates -> report composition (U5) -> tiles + overlap
+  -> atomic checkpoint commit (ST2)
+
+Shuffle topology (the part the reference outsources to Overpass):
+  * fan-out, gates, dedup pass 1: narrow after one scan
+  * J1-J4: cell-keyed equi-joins (salted where skewed)
+  * grouping: one hash-partition by (category, changeset_id)
+  * dims: broadcast
+Stage boundaries can materialize through StageRunner for kill-restart
+resume with per-partition lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm_addr_bot_spark.checks import fan_out_checks
+from osm_addr_bot_spark.operators.dedup import filter_priority
+from osm_addr_bot_spark.operators.duplicates import duplicates_stage
+from osm_addr_bot_spark.operators.gates import (
+    apply_user_gates,
+    filter_should_not_discuss,
+    split_open_changesets,
+)
+from osm_addr_bot_spark.operators.guilt import filter_guilty
+from osm_addr_bot_spark.operators.parse import parse_elements, parse_media
+from osm_addr_bot_spark.operators.place import place_mistype_stage, place_not_in_area_stage
+from osm_addr_bot_spark.operators.report import compose_reports
+from osm_addr_bot_spark.operators.streets import street_names_stage
+from osm_addr_bot_spark.operators.tiles import assign_tiles, raster_vector_overlap
+from osm_addr_bot_spark.state.checkpoint import Checkpoint, StageRunner
+
+
+def load_tables(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
+    names = (
+        "documents",
+        "changesets",
+        "users",
+        "polygons",
+        "streets",
+        "place_nodes",
+        "elements_history",
+    )
+    return {n: spark.read.parquet(f"{data_dir}/{n}.parquet") for n in names}
+
+
+def apply_post_stages(
+    issues: DataFrame,
+    elements_universe: DataFrame,
+    polygons: DataFrame,
+    streets: DataFrame,
+    place_nodes: DataFrame,
+) -> DataFrame:
+    """The reference's filter_post_fn loop (main.py:69-82): each check
+    with a spatial stage gets its issue rows replaced by the stage
+    output; pre-only checks pass through untouched."""
+    passthrough = issues.filter(~F.col("has_post"))
+    parts = [passthrough]
+    parts.append(duplicates_stage(issues.filter(F.col("post_stage") == "duplicates"), elements_universe))
+    parts.append(
+        place_not_in_area_stage(
+            issues.filter(F.col("post_stage") == "place_not_in_area"), polygons, place_nodes
+        )
+    )
+    parts.append(place_mistype_stage(issues.filter(F.col("post_stage") == "place_mistype"), polygons))
+    parts.append(street_names_stage(issues.filter(F.col("post_stage") == "street_names"), streets))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    data_dir: str,
+    checkpoint_dir: str | None = None,
+    start_ts: int | None = None,
+    end_ts: int | None = None,
+    fidelity: bool = False,
+    stage_checkpoints: bool = False,
+    ignore_already_discussed: bool = False,
+    zoom: int | None = None,
+) -> dict[str, DataFrame]:
+    """Run everything; returns the output DataFrames (lazy unless
+    stage_checkpoints materializes them)."""
+    t = load_tables(spark, data_dir)
+    ckpt = Checkpoint(checkpoint_dir) if checkpoint_dir else None
+
+    if ckpt and (start_ts is None or end_ts is None):
+        # source clock (S4): the table's own high watermark
+        src_max = t["documents"].select(
+            F.max(F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> get_json_object(s.text, '$.timestamp'))")[0])
+        ).first()[0]
+        src_max = int(src_max) if src_max is not None else 0
+        start_ts, end_ts = ckpt.compute_window(now=src_max, source_max_ts=src_max + 1)
+
+    run_id = f"run-{end_ts if end_ts is not None else 'full'}"
+    stages = StageRunner(spark, checkpoint_dir or "/tmp/osm_ckpt", run_id, enabled=stage_checkpoints)
+
+    # candidate pool for J1 is the whole universe, not just the window
+    elements_all = parse_elements(t["documents"])
+    elements = parse_elements(t["documents"], start_ts=start_ts, end_ts=end_ts)
+
+    issues0 = stages.run("fanout", lambda: fan_out_checks(elements, fidelity=fidelity))
+    issues1 = filter_should_not_discuss(issues0, t["changesets"], ignore_already_discussed)
+    issues2 = filter_priority(issues1, consider_post_fn=True)
+    issues3 = stages.run(
+        "post_stages",
+        lambda: apply_post_stages(
+            issues2, elements_all, t["polygons"], t["streets"], t["place_nodes"]
+        ),
+    )
+
+    # J8/T3: merge prior-run backlog before the per-changeset phase
+    merged = issues3
+    if ckpt:
+        backlog = ckpt.read_rescheduled(spark, start_ts)
+        if backlog is not None:
+            merged = merged.unionByName(backlog.select(*issues3.columns))
+
+    closed, rescheduled = split_open_changesets(merged, t["changesets"])
+    guilty = filter_guilty(closed, t["elements_history"], fidelity)
+    deduped = filter_priority(
+        guilty, consider_post_fn=False, scope=("category", "changeset_id", "uid")
+    )
+    final_issues = stages.run(
+        "final_issues", lambda: apply_user_gates(deduped, t["changesets"], t["users"])
+    )
+
+    reports = compose_reports(final_issues, t["users"], t["changesets"], fidelity)
+
+    media = parse_media(t["documents"])
+    kw = {"zoom": zoom} if zoom is not None else {}
+    tiles = assign_tiles(final_issues, **kw)
+    overlap = raster_vector_overlap(elements_all, media, **kw)
+
+    out = {
+        "elements": elements,
+        "issues": final_issues,
+        "rescheduled": rescheduled,
+        "reports": reports,
+        "tiles": tiles,
+        "overlap": overlap,
+    }
+    if ckpt and end_ts is not None:
+        ckpt.commit(end_ts, rescheduled, reports, metrics=stages.metrics or None)
+    return out
