@@ -1,38 +1,907 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship slice of the engine (span parse ->
+check fan-out -> priority dedup -> tile assignment) over a spans-shaped
+table synthesized deterministically from /root/testdata/sf0.001.
+
+``queries()`` / ``oracle_sql()`` expose every operator class of
+SURVEY.md §2 plus the training-data-pipeline suite over the driver's
+parquet tables, each with a DuckDB-runnable ANSI-SQL oracle. Engine
+internals that need the spans-shaped input (exact message goldens,
+checkpoint/resume) are covered by pytest instead (tests/).
+
+Determinism rules shared by both sides:
+  * synthetic coordinates derive from integer keys by fixed formulas;
+  * every hash is md5-based (Spark's hash() != DuckDB's hash());
+  * double outputs are rounded so value-hash comparison is fp-safe.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_addr_bot_spark.checks import fan_out_checks
+from osm_addr_bot_spark.checks.selectors import normalize_expr
+from osm_addr_bot_spark.datapipe import dedup as dd
+from osm_addr_bot_spark.datapipe import similarity as sim
+from osm_addr_bot_spark.datapipe import text as tx
+from osm_addr_bot_spark.geo.haversine import haversine_m, haversine_sql
+from osm_addr_bot_spark.geo.tiles import xyz_tile_cols, xyz_tile_sql
+from osm_addr_bot_spark.operators.dedup import filter_priority
+from osm_addr_bot_spark.operators.parse import parse_elements
+from osm_addr_bot_spark.operators.tiles import assign_tiles
+
+# --------------------------------------------------------------------------
+# deterministic synthetic coordinates from integer keys (dense grid for
+# the 100 m radius join; ~44 m lat x ~41 m lon steps)
+_LAT = "49.5 + (c_custkey % 37) * 0.0004"
+_LON = "14.5 + (c_custkey % 53) * 0.0006"
+# wider spread for tiling
+_WLAT = "49.5 + (c_custkey % 491) * 0.01"
+_WLON = "14.5 + (c_custkey % 877) * 0.01"
 
 
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cust_points(spark, sf_dir, lat_expr=_LAT, lon_expr=_LON):
+    return _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"cast({lat_expr} as double) as lat", f"cast({lon_expr} as double) as lon"
+    )
+
+
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spans-shaped docs synthesized from sf0.001 -> parse ->
+    fan-out -> priority dedup -> tiles."""
+    sf_dir = "/root/testdata/sf0.001"
+    flat = _read(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            (F.lit(1_700_000_000) + F.col("doc_id")).alias("timestamp"),
+            (F.col("doc_id") % 50).alias("changeset_id"),
+            F.element_at(
+                F.array(F.lit("node"), F.lit("way"), F.lit("relation")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("element_type"),
+            (F.col("doc_id") + 1).alias("element_id"),
+            F.map_from_arrays(
+                F.array(F.lit("addr:postcode"), F.lit("addr:city"), F.lit("addr:housenumber")),
+                F.array(
+                    F.format_string("%02d-%d", F.col("doc_id") % 99, F.col("n_chars")),
+                    F.col("source"),
+                    (F.col("doc_id") % 200).cast("string"),
+                ),
+            ).alias("tags"),
+            (F.lit(49.5) + (F.col("doc_id") % 491) * 0.01).alias("lat"),
+            (F.lit(14.5) + (F.col("doc_id") % 877) * 0.01).alias("lon"),
+        )
+    )
+    docs = flat.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                payload.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    elements = parse_elements(docs)
+    issues = fan_out_checks(elements)
+    deduped = filter_priority(issues, consider_post_fn=False)
+    return assign_tiles(deduped).select(
+        "check_id", "changeset_id", "element_type", "element_id", "uid", "tile_ref"
+    )
+
+
+# --------------------------------------------------------------------------
+# query catalog: name -> (spark builder, oracle sql)
+_CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def reg(fn):
+        _CATALOG[name] = (fn, sql)
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------- relational core
+@_q(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 4) AS net
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_quantity > 30
+    """,
+)
+def q_scan_filter_project(spark, sf_dir):
+    # S1/F1/F2/P1: pushed-down scan + projection (ReadSchema pruning)
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_quantity") > 30)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+    )
+
+
+@_q(
+    "postcode_format_check",
+    """
+    SELECT c_custkey, pc AS postcode,
+           NOT regexp_matches(pc, '^\\d{2}-\\d{3}([;,]\\d{2}-\\d{3})*$') AS flagged
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN printf('%d-%03d', c_custkey % 999, c_custkey % 999)
+                      ELSE printf('%02d-%03d', c_custkey % 99, c_custkey % 1000) END AS pc
+          FROM customer)
+    """,
+)
+def q_postcode_format_check(spark, sf_dir):
+    # F8/X6: the BAD_POSTCODE_FORMAT regex over derived postcodes
+    from osm_addr_bot_spark.checks.registry import POSTCODE_RE
+
+    c = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "CASE WHEN c_custkey % 7 = 0 THEN printf('%d-%03d', c_custkey % 999, c_custkey % 999)"
+        " ELSE printf('%02d-%03d', c_custkey % 99, c_custkey % 1000) END AS pc",
+    )
+    return c.select(
+        "c_custkey",
+        F.col("pc").alias("postcode"),
+        (~F.col("pc").rlike(POSTCODE_RE)).alias("flagged"),
+    )
+
+
+@_q(
+    "normalize_mistype",
+    """
+    SELECT r_regionkey, regexp_replace(lower(trim(padded)), '\\s{2,}', ' ', 'g') AS norm,
+           (padded <> r_name AND
+            regexp_replace(lower(trim(padded)), '\\s{2,}', ' ', 'g') =
+            regexp_replace(lower(trim(r_name)), '\\s{2,}', ' ', 'g')) AS mistype
+    FROM (SELECT r_regionkey, r_name, '  ' || upper(r_name) || '   ' AS padded FROM region)
+    """,
+)
+def q_normalize_mistype(spark, sf_dir):
+    # X1 + F9: CITY_WITH_PLACE_MISTYPE core (raw != AND normalized ==)
+    r = _read(spark, sf_dir, "region").selectExpr(
+        "r_regionkey", "r_name", "'  ' || upper(r_name) || '   ' AS padded"
+    )
+    return r.select(
+        "r_regionkey",
+        normalize_expr(F.col("padded")).alias("norm"),
+        (
+            (F.col("padded") != F.col("r_name"))
+            & (normalize_expr(F.col("padded")) == normalize_expr(F.col("r_name")))
+        ).alias("mistype"),
+    )
+
+
+@_q(
+    "glob_selector_like",
+    """
+    SELECT p_partkey, p_type FROM part
+    WHERE p_type LIKE 'PROMO%' OR p_type LIKE '%BRASS%'
+    """,
+)
+def q_glob_selector_like(spark, sf_dir):
+    # X5/F3: glob -> LIKE translation semantics
+    from osm_addr_bot_spark.checks.selectors import glob_to_like
+
+    p = _read(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like(glob_to_like("PROMO*")) | F.col("p_type").like(glob_to_like("*BRASS*"))
+    ).select("p_partkey", "p_type")
+
+
+@_q(
+    "priority_dedup_window",
+    """
+    SELECT l_orderkey, l_linenumber, l_linestatus
+    FROM (SELECT l_orderkey, l_linenumber, l_linestatus,
+                 coalesce(max(CASE WHEN l_returnflag <> 'R' THEN l_linenumber END)
+                          OVER (PARTITION BY l_orderkey), 0) AS claim
+          FROM lineitem)
+    WHERE l_linenumber >= claim
+    """,
+)
+def q_priority_dedup_window(spark, sf_dir):
+    # W1: the closed-form priority dedup (eligible = returnflag != 'R'
+    # standing in for "has no post_fn"; priority = linenumber)
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    claim = F.coalesce(
+        F.max(F.when(F.col("l_returnflag") != "R", F.col("l_linenumber"))).over(w), F.lit(0)
+    )
+    return (
+        li.withColumn("claim", claim)
+        .filter(F.col("l_linenumber") >= F.col("claim"))
+        .select("l_orderkey", "l_linenumber", "l_linestatus")
+    )
+
+
+@_q(
+    "group_count_cap",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey HAVING count(*) <= 12
+    """,
+)
+def q_group_count_cap(spark, sf_dir):
+    # A1/A3/O4: per-changeset grouping + issue cap (skip, not truncate)
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .filter(F.col("n_orders") <= 12)
+    )
+
+
+@_q(
+    "distinct_changesets",
+    "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'",
+)
+def q_distinct_changesets(spark, sf_dir):
+    # A2: distinct key collection
+    return _read(spark, sf_dir, "orders").filter("o_orderstatus = 'O'").select("o_custkey").distinct()
+
+
+@_q(
+    "semi_anti_gates",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+)
+def q_semi_anti_gates(spark, sf_dir):
+    # T4 + gate pattern: left_semi + left_anti
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    big = o.filter("o_totalprice > 100000").select("o_custkey")
+    fin = o.filter("o_orderstatus = 'F'").select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .join(fin, F.col("c_custkey") == fin.o_custkey, "left_anti")
+        .select("c_custkey")
+    )
+
+
+@_q(
+    "broadcast_dim_join",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_broadcast_dim_join(spark, sf_dir):
+    # J6/J7/P8: broadcast dim joins (nation/region are tiny)
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    )
+
+
+@_q(
+    "union_backlog_merge",
+    """
+    SELECT o_custkey, o_orderkey FROM
+      (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'O'
+       UNION
+       SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def q_union_backlog_merge(spark, sf_dir):
+    # T2/T3/J8/W2: unionByName + identity dedup
+    o = _read(spark, sf_dir, "orders")
+    a = o.filter("o_orderstatus = 'O'").select("o_custkey", "o_orderkey")
+    b = o.filter("o_totalprice > 150000").select("o_custkey", "o_orderkey")
+    return a.unionByName(b).dropDuplicates(["o_custkey", "o_orderkey"])
+
+
+@_q(
+    "nullsafe_equal_tags",
+    """
+    SELECT a.c_custkey AS k_a, b.c_custkey AS k_b
+    FROM (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+                 c_nationkey FROM customer) a
+    JOIN (SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+                 c_nationkey FROM customer) b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         AND a.seg IS NOT DISTINCT FROM b.seg
+    WHERE a.c_custkey % 17 = 0
+    """,
+)
+def q_nullsafe_equal_tags(spark, sf_dir):
+    # X9: null-safe equality (absent == absent) as in EQUAL_TAGS
+    c = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg",
+        "c_nationkey",
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & F.col("a.seg").eqNullSafe(F.col("b.seg")),
+        )
+        .filter(F.col("a.c_custkey") % 17 == 0)
+        .select(F.col("a.c_custkey").alias("k_a"), F.col("b.c_custkey").alias("k_b"))
+    )
+
+
+# ------------------------------------------------------------- spatial class
+@_q(
+    "duplicate_radius_join",
+    f"""
+    SELECT a.c_custkey AS k_a, b.c_custkey AS k_b,
+           round({haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 2) AS dist_m
+    FROM (SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon FROM customer) a
+    JOIN (SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon FROM customer) b
+      ON a.c_custkey < b.c_custkey
+    WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= 100.0
+    """,
+)
+def q_duplicate_radius_join(spark, sf_dir):
+    # J1 class: the engine runs its hex-cell k-ring join; the oracle
+    # brute-forces the cross join — equality proves the cover guarantee
+    from osm_addr_bot_spark.geo import hex_cell_udf, hex_kring_udf
+    from osm_addr_bot_spark.geo.hexgrid import cover_k
+
+    pts = _cust_points(spark, sf_dir)
+    k = cover_k(100.0, 9)
+    probe = pts.withColumn("cell", hex_cell_udf(9)(F.col("lat"), F.col("lon"))).withColumn(
+        "cell", F.explode(hex_kring_udf(k)(F.col("cell")))
+    )
+    build = pts.select(
+        hex_cell_udf(9)(F.col("lat"), F.col("lon")).alias("cell"),
+        F.col("c_custkey").alias("k_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    d = haversine_m(F.col("lat"), F.col("lon"), F.col("lat_b"), F.col("lon_b"))
+    return (
+        probe.join(build, "cell")
+        .filter(F.col("c_custkey") < F.col("k_b"))
+        .filter(d <= 100.0)
+        .select(
+            F.col("c_custkey").alias("k_a"),
+            "k_b",
+            F.round(d, 2).alias("dist_m"),
+        )
+        .distinct()
+    )
+
+
+@_q(
+    "street_tier_anti_join",
+    f"""
+    SELECT a.c_custkey FROM
+      (SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon, c_mktsegment FROM customer) a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT s_suppkey, 49.5 + (s_suppkey % 37) * 0.0004 AS lat,
+                            14.5 + (s_suppkey % 53) * 0.0006 AS lon,
+                            CASE WHEN s_suppkey % 2 = 0 THEN 'BUILDING' ELSE 'MACHINERY' END AS seg
+                     FROM supplier) s
+      WHERE s.seg = a.c_mktsegment
+        AND {haversine_sql('a.lat', 'a.lon', 's.lat', 's.lon')} <= 3000.0)
+    """,
+)
+def q_street_tier_anti_join(spark, sf_dir):
+    # J4 class: tiered cascade (500/1000/3000) over a named-point index;
+    # result == flat NOT EXISTS within the largest tier
+    from osm_addr_bot_spark.geo import hex_cell_udf, hex_cover_udf
+    from osm_addr_bot_spark.geo.hexgrid import pick_res
+
+    cust = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{_LAT} AS lat", f"{_LON} AS lon", "c_mktsegment AS seg"
+    )
+    supp = _read(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        "49.5 + (s_suppkey % 37) * 0.0004 AS lat",
+        "14.5 + (s_suppkey % 53) * 0.0006 AS lon",
+        "CASE WHEN s_suppkey % 2 = 0 THEN 'BUILDING' ELSE 'MACHINERY' END AS seg",
+    )
+    remaining = cust
+    for radius in (500.0, 1000.0, 3000.0):
+        res = pick_res(radius)
+        probe = remaining.withColumn(
+            "cell", F.explode(hex_cover_udf(radius, res)(F.col("lat"), F.col("lon")))
+        )
+        idx = supp.select(
+            hex_cell_udf(res)(F.col("lat"), F.col("lon")).alias("cell"),
+            F.col("seg").alias("s_seg"),
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+        )
+        matched = (
+            probe.join(idx, "cell")
+            .filter(F.col("seg") == F.col("s_seg"))
+            .filter(
+                haversine_m(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")) <= radius
+            )
+            .select("c_custkey")
+            .distinct()
+        )
+        remaining = remaining.join(matched, "c_custkey", "left_anti")
+    return remaining.select("c_custkey")
+
+
+@_q(
+    "tile_assignment",
+    f"""
+    SELECT c_custkey,
+           {xyz_tile_sql(_WLAT, _WLON, 14)[0]} AS tile_x,
+           {xyz_tile_sql(_WLAT, _WLON, 14)[1]} AS tile_y
+    FROM customer
+    """,
+)
+def q_tile_assignment(spark, sf_dir):
+    # tiles: native slippy-map assignment
+    pts = _cust_points(spark, sf_dir, _WLAT, _WLON)
+    x, y = xyz_tile_cols(F.col("lat"), F.col("lon"), 14)
+    return pts.select("c_custkey", x.alias("tile_x"), y.alias("tile_y"))
+
+
+@_q(
+    "tile_overlap_report",
+    f"""
+    SELECT tile_x, tile_y, count(*) AS n_points, count(DISTINCT c_nationkey) AS n_groups
+    FROM (SELECT c_nationkey,
+                 {xyz_tile_sql(_WLAT, _WLON, 12)[0]} AS tile_x,
+                 {xyz_tile_sql(_WLAT, _WLON, 12)[1]} AS tile_y
+          FROM customer)
+    GROUP BY tile_x, tile_y
+    """,
+)
+def q_tile_overlap_report(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer").selectExpr(
+        "c_nationkey", f"cast({_WLAT} as double) as lat", f"cast({_WLON} as double) as lon"
+    )
+    x, y = xyz_tile_cols(F.col("lat"), F.col("lon"), 12)
+    return (
+        c.select("c_nationkey", x.alias("tile_x"), y.alias("tile_y"))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"), F.countDistinct("c_nationkey").alias("n_groups"))
+    )
+
+
+@_q(
+    "watermark_window_filter",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    WHERE ts >= (SELECT min(ts) FROM events) AND ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_watermark_window_filter(spark, sf_dir):
+    # ST1/ST4/F2: incremental-window scan semantics
+    e = _read(spark, sf_dir, "events")
+    bounds = e.agg(F.min("ts").alias("lo")).select(
+        "lo", (F.col("lo") + F.expr("INTERVAL 2 DAY")).alias("hi")
+    )
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+# ----------------------------------------------------------- PIP (J2 class)
+import math as _math
+
+_POLY_CENTER = (49.507, 14.515)
+_POLY = [
+    (
+        _POLY_CENTER[0] + 500.0 * _math.sin(2 * _math.pi * i / 6) / 111_194.9,
+        _POLY_CENTER[1]
+        + 500.0 * _math.cos(2 * _math.pi * i / 6) / (111_194.9 * _math.cos(_math.radians(49.507))),
+    )
+    for i in range(6)
+]
+_POLY_EDGES = [(a, _POLY[(i + 1) % len(_POLY)]) for i, a in enumerate(_POLY)]
+_POLY_VALUES = ", ".join(
+    f"({y1!r}, {x1!r}, {y2!r}, {x2!r})" for (y1, x1), (y2, x2) in _POLY_EDGES
+)
+
+
+@_q(
+    "pip_containment",
+    f"""
+    WITH pts AS (SELECT c_custkey, cast({_LAT} as double) AS lat, cast({_LON} as double) AS lon FROM customer),
+         poly(y1, x1, y2, x2) AS (VALUES {_POLY_VALUES})
+    SELECT c_custkey,
+           (sum(CASE WHEN ((y1 > lat) <> (y2 > lat))
+                      AND lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+                     THEN 1 ELSE 0 END) % 2 = 1) AS inside
+    FROM pts CROSS JOIN poly GROUP BY c_custkey
+    """,
+)
+def q_pip_containment(spark, sf_dir):
+    # J2/J3 class: native ray-cast fold vs SQL edge-table crossing count
+    from osm_addr_bot_spark.geo.pip import point_in_ring
+
+    ring = F.array(
+        *[
+            F.struct(F.lit(la).alias("lat"), F.lit(lo).alias("lon"))
+            for la, lo in _POLY
+        ]
+    )
+    pts = _cust_points(spark, sf_dir)
+    return pts.select(
+        "c_custkey", point_in_ring(F.col("lat"), F.col("lon"), ring).alias("inside")
+    )
+
+
+# ------------------------------------------------------------- datapipe: text
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_W_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _shingle3_sql() -> str:
+    w = _W_SQL
+    return (
+        f"list_transform(range(1, greatest(len({w}) - 1, 1)),"
+        f" i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])"
+    )
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    WITH h AS (SELECT doc_id, {dd.md5_int_sql(_NORM_SQL)} AS content_hash FROM documents),
+         c AS (SELECT content_hash, min(doc_id) AS canonical_doc_id FROM h GROUP BY content_hash)
+    SELECT h.doc_id, h.content_hash, c.canonical_doc_id,
+           h.doc_id <> c.canonical_doc_id AS is_duplicate
+    FROM h JOIN c USING (content_hash)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(_read(spark, sf_dir, "documents"))
+
+
+_MINHASHES = 8
+_MIN_EXPRS = [
+    "min(" + dd.md5_int_sql("sh || '#%d'" % i) + ")" for i in range(_MINHASHES)
+]
+
+
+@_q(
+    "dedup_minhash_signatures",
+    f"""
+    WITH sh AS (SELECT doc_id, unnest({_shingle3_sql()}) AS sh FROM documents)
+    SELECT doc_id,
+           concat_ws(',', {", ".join(_MIN_EXPRS)}) AS sig
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_dedup_minhash_signatures(spark, sf_dir):
+    sigs = dd.minhash_signatures(_read(spark, sf_dir, "documents"), num_hashes=_MINHASHES)
+    return sigs.select(
+        "doc_id", F.concat_ws(",", *[F.col("sig")[i].cast("string") for i in range(_MINHASHES)]).alias("sig")
+    )
+
+
+@_q(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, unnest({_shingle3_sql()}) AS sh FROM documents),
+         sig AS (SELECT doc_id,
+                        {", ".join(e + " AS h%d" % i for i, e in enumerate(_MIN_EXPRS))}
+                 FROM sh GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, 0 AS band, md5(h0::varchar || ',' || h1::varchar || ',' || h2::varchar || ',' || h3::varchar) AS bucket FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band, md5(h4::varchar || ',' || h5::varchar || ',' || h6::varchar || ',' || h7::varchar) AS bucket FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh_pairs(spark, sf_dir):
+    sigs = dd.minhash_signatures(_read(spark, sf_dir, "documents"), num_hashes=_MINHASHES)
+    return dd.lsh_candidate_pairs(sigs, bands=2, rows_per_band=4)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH s AS (SELECT DISTINCT doc_id, unnest({_shingle3_sql()}) AS sh FROM documents),
+         sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+    FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    out = dd.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.2)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_sql() -> str:
+    h = dd.md5_int_sql("t")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b}::bigint ELSE 0 END" for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t FROM documents),
+         hh AS (SELECT doc_id, {h} AS h FROM tok),
+         votes AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id)
+    SELECT doc_id, ({fp}) AS simhash FROM votes
+    """
+
+
+@_q("dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash(_read(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+@_q(
+    "dedup_simhash_near_pairs",
+    f"""
+    WITH fp AS ({_simhash_sql()}),
+         banded AS (
+           SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS v
+           FROM fp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    """,
+)
+def q_dedup_simhash_near_pairs(spark, sf_dir):
+    fps = dd.simhash(_read(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+    out = dd.simhash_near_pairs(fps, max_hamming=10, bits=_SIMHASH_BITS, bands=4)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ------------------------------------------------------ datapipe: similarity
+_QUERY_VEC = [
+    round(_math.sin(0.7 * i) * 0.5 + _math.cos(1.3 * i) * 0.3, 6) for i in range(64)
+]
+_QV_SQL = "[" + ", ".join(f"{v!r}" for v in _QUERY_VEC) + "]"
+_COS_SQL = (
+    f"list_dot_product(embedding::DOUBLE[], {_QV_SQL})"
+    f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    f" * sqrt(list_dot_product({_QV_SQL}, {_QV_SQL})))"
+)
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    SELECT vec_id, round({_COS_SQL}, 4) AS cosine
+    FROM embeddings ORDER BY {_COS_SQL} DESC, vec_id LIMIT 10
+    """,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    out = sim.brute_force_topk(_read(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+_PLANES = sim.deterministic_planes(4, 64)
+_PLANES_SQL = ["[" + ", ".join(f"{v!r}" for v in p) + "]" for p in _PLANES]
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) >= 0 THEN {1 << i} ELSE 0 END"
+    for i, p in enumerate(_PLANES_SQL)
+)
+_Q_BUCKET = sum(
+    (1 << i)
+    for i, p in enumerate(_PLANES)
+    if sum(a * b for a, b in zip(_QUERY_VEC, p)) >= 0
+)
+
+
+@_q(
+    "ann_lsh_topk",
+    f"""
+    SELECT vec_id, round({_COS_SQL}, 4) AS cosine
+    FROM embeddings
+    WHERE ({_BUCKET_SQL}) = {_Q_BUCKET}
+    ORDER BY {_COS_SQL} DESC, vec_id LIMIT 10
+    """,
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    out = sim.lsh_topk(_read(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, num_planes=4)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# ------------------------------------------------------- datapipe: text ops
+_LANG_HITS_SQL = {
+    lang: (
+        "len(list_filter(string_split(" + _NORM_SQL + ", ' '), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], t)))"
+    )
+    for lang, words in tx.LANG_PROFILES.items()
+}
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    WITH s AS (SELECT doc_id,
+                      {_LANG_HITS_SQL['en']} AS s_en, {_LANG_HITS_SQL['de']} AS s_de,
+                      {_LANG_HITS_SQL['fr']} AS s_fr, {_LANG_HITS_SQL['pl']} AS s_pl
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_en + s_de + s_fr + s_pl = 0 THEN 'und'
+                WHEN s_en >= greatest(s_de, s_fr, s_pl) THEN 'en'
+                WHEN s_de >= greatest(s_fr, s_pl) THEN 'de'
+                WHEN s_fr >= s_pl THEN 'fr'
+                ELSE 'pl' END AS lang_pred,
+           (s_en + s_de + s_fr + s_pl)::bigint AS lang_hits
+    FROM s
+    """,
+)
+def q_text_lang_id(spark, sf_dir):
+    out = tx.lang_id(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred", F.col("lang_hits").cast("long").alias("lang_hits"))
+
+
+@_q(
+    "text_quality_features",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_NORM_SQL} AS norm,
+                      string_split({_NORM_SQL}, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text)::bigint AS n_chars,
+           len(toks)::bigint AS n_tokens,
+           round((length(norm) - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_token_len,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that'], t)))
+                 * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio,
+           (CASE WHEN len(toks) >= 20 THEN 40 ELSE len(toks) * 2 END
+                 + CASE WHEN (length(norm) - (len(toks) - 1)) * 1.0 / len(toks) BETWEEN 3 AND 9 THEN 30 ELSE 0 END
+                 + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                             / greatest(length(text), 1) < 0.2 THEN 20 ELSE 0 END
+                 + least(floor(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that'], t)))
+                         * 200 / greatest(len(toks), 1)), 10))::bigint AS quality
+    FROM t
+    """,
+)
+def q_text_quality_features(spark, sf_dir):
+    return tx.quality_features(_read(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_token_counts",
+    f"""
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
+               FROM documents)
+    SELECT doc_id, len(words)::bigint AS ws_tokens,
+           list_sum(list_transform(words, w ->
+             ceil(length(regexp_replace(w, '[^\\w]', '', 'g')) / 4.0)::bigint
+             + length(regexp_replace(w, '[\\w]', '', 'g'))))::bigint AS bpe_ish_tokens
+    FROM t
+    """,
+)
+def q_text_token_counts(spark, sf_dir):
+    out = tx.token_counts(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@_q(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id, {dd.md5_int_sql(_NORM_SQL)} AS fingerprint,
+           {dd.md5_int_sql(f"substr({_NORM_SQL}, 1, 64)")} AS head_fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprints(spark, sf_dir):
+    return tx.fingerprints(_read(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- streaming-shaped / window
+@_q(
+    "events_sessionize",
+    """
+    WITH g AS (SELECT user_id, event_id, floor(epoch(ts))::bigint AS e FROM events),
+         b AS (SELECT user_id, event_id, e,
+                      CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id) > 3600
+                           THEN 1 ELSE 0 END AS brk
+               FROM g),
+         s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY e, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM b)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    # sessionization: lag + gap cumsum (streaming session_window analog)
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", F.expr("cast(cast(ts as timestamp) as bigint)").alias("e"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    brk = F.when(F.col("e") - F.lag("e").over(w) > 3600, 1).otherwise(0)
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = e.withColumn("brk", brk).withColumn("session_id", F.sum("brk").over(ws))
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@_q(
+    "json_props_extract",
+    """
+    SELECT event_type, sum(CASE WHEN json_extract_string(props, '$.k')::bigint > 50 THEN 1 ELSE 0 END) AS n_big,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_extract(spark, sf_dir):
+    # schemaless-payload predicate (the tags-map analog on driver data)
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.get_json_object("props", "$.k").cast("long") > 50, 1).otherwise(0)
+        ).alias("n_big"),
+        F.count("*").alias("n"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _CATALOG.items() if sql is not None}

@@ -1,0 +1,150 @@
+"""Benchmark harness.
+
+Default: run the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line:
+
+    {"metric": "validated-changesets/sec", "value": N, "unit": "...",
+     "queries": {...}, "sf": ...}
+
+The headline metric is the full engine pipeline (parse -> checks ->
+spatial joins -> guilt -> reports -> tiles) over the seeded synthetic
+interleaved-documents world sized to the sf (BASELINE.md); per-query
+timings cover the driver-table operator suite.
+
+``--scaling`` reruns the pipeline at local[8] and local[32] in separate
+JVMs (subprocesses) on identical input and reports throughput at both
+plus efficiency = (T8/T32)... see BENCH.md; this evidences the north
+rule's N-vs-4N criterion in a single-box sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# documents in the synthetic world per sf unit (sf0.1 -> 12k docs)
+DOCS_PER_SF = 120_000
+
+HEADLINE_QUERIES = [
+    "duplicate_radius_join",
+    "street_tier_anti_join",
+    "pip_containment",
+    "tile_overlap_report",
+    "priority_dedup_window",
+    "broadcast_dim_join",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_near_pairs",
+    "ann_cosine_topk",
+    "text_quality_features",
+    "events_sessionize",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR, pipeline_only: bool = False) -> dict:
+    from osm_addr_bot_spark.datagen import T0, WINDOW_S, ensure_dataset
+    from osm_addr_bot_spark.pipeline import run_pipeline
+    from osm_addr_bot_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    sf = _sf_from_dir(sf_dir)
+    n_docs = max(300, int(DOCS_PER_SF * sf))
+    world = str(ensure_dataset(f"/tmp/osm_addr_bot_synth/bench_sf{sf}", n_docs=n_docs, seed=42))
+
+    spark = get_spark(app_name=f"bench-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    # warm the JVM/Arrow path once so the measurement isn't startup-bound
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    t0 = time.time()
+    out = run_pipeline(spark, world, start_ts=T0, end_ts=T0 + WINDOW_S)
+    n_reports = out["reports"].count()
+    n_issues = out["issues"].count()
+    n_overlap = out["overlap"].count()
+    pipeline_sec = time.time() - t0
+
+    # validated changesets = changesets that completed validation =
+    # all non-open changesets scanned in the window (docs == changesets)
+    n_changesets = out["elements"].select("changeset_id").distinct().count()
+    value = n_changesets / pipeline_sec
+
+    queries: dict[str, float] = {"pipeline": round(pipeline_sec, 3)}
+    if not pipeline_only:
+        qs = entrymod.queries()
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            queries[name] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "validated-changesets/sec (full pipeline over synthetic interleaved docs)",
+        "value": round(value, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline": {
+            "changesets": n_changesets,
+            "issues": n_issues,
+            "reports": n_reports,
+            "overlap_tiles": n_overlap,
+            "seconds": round(pipeline_sec, 3),
+        },
+    }
+
+
+def run_scaling(sf_dir: str = SF_DIR) -> dict:
+    """Same job at local[8] vs local[32] in fresh JVMs -> efficiency."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--json-only", "--pipeline-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["pipeline"]["seconds"]
+    t32 = results[32]["pipeline"]["seconds"]
+    thr8 = results[8]["value"]
+    thr32 = results[32]["value"]
+    efficiency = (thr32 / thr8) / 4.0
+    return {
+        "local8": {"seconds": t8, "changesets_per_sec": thr8},
+        "local32": {"seconds": t32, "changesets_per_sec": thr32},
+        "speedup": round(thr32 / thr8, 3),
+        "efficiency_n_to_4n": round(efficiency, 3),
+        "sf": results[32]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+    if args.scaling:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(pipeline_only=args.pipeline_only)))

@@ -1,0 +1,62 @@
+"""spark-submit entrypoint: the full validation pipeline as a job.
+
+Launch (north rule: spark-submit --py-files):
+
+    bash scripts/submit.sh --data-dir /path/to/world \
+        --checkpoint-dir /path/to/ckpt --output-dir /path/to/out
+
+The engine package ships as a zip via --py-files; the SparkSession is
+created WITHOUT a master override (SPARK_SUBMIT_MODE=1) so the
+launcher's --master (yarn/k8s/local[N]) governs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--start-ts", type=int, default=None)
+    ap.add_argument("--end-ts", type=int, default=None)
+    ap.add_argument("--stage-checkpoints", action="store_true")
+    ap.add_argument("--fidelity", action="store_true")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
+    from osm_addr_bot_spark.pipeline import run_pipeline
+    from osm_addr_bot_spark.session import get_spark
+
+    spark = get_spark(app_name="osm-addr-bot-pipeline")
+    t0 = time.time()
+    out = run_pipeline(
+        spark,
+        args.data_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        start_ts=args.start_ts,
+        end_ts=args.end_ts,
+        fidelity=args.fidelity,
+        stage_checkpoints=args.stage_checkpoints,
+    )
+    stats = {}
+    if args.output_dir:
+        for name in ("issues", "reports", "overlap"):
+            path = os.path.join(args.output_dir, name)
+            out[name].write.mode("overwrite").parquet(path)
+            stats[name] = spark.read.parquet(path).count()
+    else:
+        stats = {name: out[name].count() for name in ("issues", "reports", "overlap")}
+    stats["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+All shingle/hash math is native Spark SQL (md5 + conv + higher-order
+array functions) — no UDFs, whole-stage codegen end to end, and every
+step reproducible in ANSI SQL for the DuckDB oracle.
+
+Scale notes (100 TB):
+  * exact: one hash aggregate on a 60-bit content key.
+  * MinHash: shingle explode is the wide step; signatures reduce back to
+    one row/doc; LSH banding turns all-pairs into per-bucket joins.
+  * n-gram Jaccard: the classic sparse inverted-index join — pairs are
+    generated per shared shingle, counted, then filtered by the
+    |A∩B| / (|A|+|B|-|A∩B|) threshold; never materializes the n² grid.
+  * SimHash: per-token bit votes aggregated per doc (32 sums), banded
+    Hamming join for candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit integer from an md5 prefix — identical in DuckDB via
+# ('0x' || substr(md5(x),1,15))::bigint
+def md5_int(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_int_sql(x: str) -> str:
+    return f"('0x' || substr(md5({x}), 1, 15))::bigint"
+
+
+def normalize_text(c: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+# ------------------------------------------------------------------- exact
+def exact_duplicates(docs: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(doc_id, content_hash, canonical_doc_id, is_duplicate): every doc
+    mapped to the smallest doc id sharing its normalized content hash."""
+    h = docs.select(
+        F.col(key).alias("doc_id"), md5_int(normalize_text(F.col(text_col))).alias("content_hash")
+    )
+    canon = h.groupBy("content_hash").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return h.join(canon, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        "canonical_doc_id",
+        (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+    )
+
+
+# ----------------------------------------------------------------- shingles
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles of the normalized text — native:
+    split -> sliding windows via transform(sequence)."""
+    words = F.split(normalize_text(text), " ")
+    m = F.size(words) - (n - 1)
+    return F.when(m <= 0, F.array(normalize_text(text))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def shingle_sql(text: str, n: int = 3) -> str:
+    """DuckDB equivalent of word_shingles (list_transform over ranges)."""
+    norm = f"regexp_replace(lower(trim({text})), '\\s+', ' ', 'g')"
+    words = f"string_split({norm}, ' ')"
+    joined = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return (
+        f"(CASE WHEN len({words}) < {n} THEN [{norm}] ELSE "
+        f"(SELECT list_transform(range(1, len(w) - {n - 2}), i -> {joined}) FROM (SELECT {words} AS w)) END)"
+    )
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig: array<long>[num_hashes]): sig[i] = min over shingles
+    of md5_int(shingle || '#i')."""
+    sh = docs.select(
+        F.col(key).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[
+            md5_int(F.concat(F.col("sh"), F.lit(f"#{i}"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing any LSH
+    band bucket (band hash over ``rows_per_band`` signature slots)."""
+    n = bands * rows_per_band
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[i].cast("string")
+                                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ ngram jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold — inverted-index join, no n² blowup."""
+    sh = docs.select(
+        F.col(key).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.selectExpr("doc_id as doc_a", "sz as sz_a")
+    sb = sizes.selectExpr("doc_id as doc_b", "sz as sz_b")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): per-token md5-derived bit votes, sign-summed.
+
+    bit b of the fingerprint = 1 iff sum over tokens of
+    (+1 if bit b of md5_int(token) else -1) > 0.
+    """
+    tok = docs.select(
+        F.col(key).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+    ).withColumn("h", md5_int(F.col("t")))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6, bits: int = 32, bands: int = 4) -> DataFrame:
+    """Banded Hamming join: candidates share one of ``bands`` equal-width
+    bit bands (pigeonhole: any pair within max_hamming < bands shares
+    >= 1 exact band when max_hamming < bands); verify with bit_count."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("v"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.v")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

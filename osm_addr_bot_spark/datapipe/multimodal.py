@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video libraries are not installed in this sandbox, so the
+DECODE step is stubbed (deterministic fake derived from the bytes, or
+NotImplementedError in strict mode) — but the Spark-side contract is
+real and tested: schemas, Arrow batch shapes, `mapInPandas` signatures,
+and partition behavior are exactly what a real decoder would plug into.
+
+At 100 TB: binary columns ride parquet as-is (no JVM copies beyond the
+scan), decode runs as Arrow-batched mapInPandas on the executors, and
+frame sampling yields multiple rows per input inside the same batch
+iterator — no driver involvement, no collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, doc_id string, kind string, width int, height int,"
+    " n_channels int, feat array<double>"
+)
+
+FRAME_SCHEMA = "media_id long, doc_id string, frame_idx int, width int, height int"
+
+STRICT_DECODE = False  # flip to raise instead of producing fake decodes
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real decoder: dims derived from the
+    content hash; replace this function with PIL/ffmpeg bindings."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 3
+
+
+def decode_media(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """Decode + feature-extract as Arrow-batched mapInPandas.
+
+    The stub emits (width, height, channels) from the content hash and a
+    ``feat_dim``-dim pseudo-feature vector; a real implementation swaps
+    the body of ``_decode_batch`` only — schema and batching stand.
+    """
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if STRICT_DECODE:
+                raise NotImplementedError(
+                    "real media decoding requires image/audio libs absent in this sandbox"
+                )
+            dims = [_fake_dims(bytes(b)) for b in pdf["content"]]
+            feats = [
+                [
+                    int(hashlib.md5(bytes(b) + bytes([i])).hexdigest()[:8], 16) / float(1 << 32)
+                    for i in range(feat_dim)
+                ]
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_channels": [d[2] for d in dims],
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:
+    """Frame sampling for kind='video': one output row per sampled frame
+    — demonstrates 1->N fan-out inside the Arrow batch iterator."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf[pdf["kind"] == "video"].iterrows():
+                w, h, _ = _fake_dims(bytes(r["content"]))
+                n = min(max_frames, 1 + len(bytes(r["content"])) // max(every_n, 1))
+                for i in range(n):
+                    rows.append(
+                        {"media_id": r["media_id"], "doc_id": r["doc_id"], "frame_idx": i,
+                         "width": w, "height": h}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "doc_id", "frame_idx", "width", "height"])
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def resize_stub(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """'Resize' on the decoded table — pure column math here (aspect-
+    preserving target dims); the pixel work would live in the decode
+    UDF in a real pipeline."""
+    scale = F.lit(target) / F.greatest(F.col("width"), F.col("height"))
+    return decoded.withColumns(
+        {
+            "out_width": F.ceil(F.col("width") * scale).cast("int"),
+            "out_height": F.ceil(F.col("height") * scale).cast("int"),
+        }
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; random-hyperplane
+LSH bucketing is the scale path (probe only matching buckets — at 10^12
+rows the bucket join replaces the full scan). Hyperplanes are
+deterministic pseudo-randoms derived from md5 so the DuckDB oracle can
+replay them exactly; an IVF variant would swap the plane-sign bucket
+for a nearest-centroid bucket (centroid training is out of scope —
+LSH needs no training and shuffles identically).
+
+All vector math is native (`F.zip_with` + `F.aggregate`), JVM-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def deterministic_planes(num_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
+    """Pseudo-random hyperplanes in [-1, 1), reproducible from md5 —
+    identical in any engine that has md5."""
+    planes = []
+    for p in range(num_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            vals.append((int(h[:15], 16) / float(1 << 60)) * 2.0 - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign-bit string over the hyperplanes (native)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(v)) for v in plane])
+        bucket = bucket + F.when(_dot(vec, lit) >= 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", key: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        embeddings.select(
+            F.col(key).alias("vec_id"),
+            cosine_sim(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    num_planes: int = 6,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    At scale the bucket predicate prunes the scan (bucket is a stored,
+    partition-prunable column); here it is computed inline."""
+    planes = deterministic_planes(num_planes, len(query))
+    q_bucket = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query, plane)) >= 0:
+            q_bucket += 1 << i
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        embeddings.withColumn("_bucket", lsh_bucket_expr(vec, planes))
+        .filter(F.col("_bucket") == F.lit(q_bucket))
+        .select(F.col(key).alias("vec_id"), cosine_sim(vec, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def pairwise_topk_per_label(
+    embeddings: DataFrame, k: int = 3, vec_col: str = "embedding", key: str = "vec_id"
+) -> DataFrame:
+    """Embedding near-dup detection: top-k cosine neighbors within each
+    label group (blocked all-pairs — the blocking key bounds the join)."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col(key).alias("vec_id"), F.col("label"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), "vec_b")
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

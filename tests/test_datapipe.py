@@ -1,0 +1,186 @@
+"""Training-data-pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_addr_bot_spark.datapipe import dedup as dd
+from osm_addr_bot_spark.datapipe import multimodal as mm
+from osm_addr_bot_spark.datapipe import similarity as sim
+from osm_addr_bot_spark.datapipe import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),     # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),     # near dup
+        (4, "completely different content about spark engines"),
+        (5, "the  QUICK  brown fox jumps over the lazy dog "),  # normalizes to 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r["doc_id"]: r for r in dd.exact_duplicates(docs).collect()}
+    assert out[2]["canonical_doc_id"] == 1 and out[2]["is_duplicate"]
+    assert out[5]["canonical_doc_id"] == 1 and out[5]["is_duplicate"]  # normalization
+    assert not out[1]["is_duplicate"]
+    assert not out[4]["is_duplicate"]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    row = df.select(dd.word_shingles(F.col("text"), 3).alias("s")).first()
+    assert row["s"] == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert short.select(dd.word_shingles(F.col("text"), 3).alias("s")).first()["s"] == ["a b"]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = dd.minhash_signatures(docs, num_hashes=16)
+    rows = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert rows[1] == rows[2]  # identical docs -> identical signatures
+    shared_13 = sum(1 for a, b in zip(rows[1], rows[3]) if a == b)
+    shared_14 = sum(1 for a, b in zip(rows[1], rows[4]) if a == b)
+    assert shared_13 > shared_14  # near dup shares more minhashes
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_pairs(spark, docs):
+    fps = dd.simhash(docs, bits=32)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[1] == vals[2] == vals[5]
+    ham13 = bin(vals[1] ^ vals[3]).count("1")
+    ham14 = bin(vals[1] ^ vals[4]).count("1")
+    assert ham13 < ham14
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_near_pairs(fps, max_hamming=8, bits=32, bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_brute_force_and_lsh_topk(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(200, 16)).astype(float)
+    q = list(vecs[7])  # query equals row 7 -> top1 must be vec 7
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    top = sim.brute_force_topk(df, q, k=5).collect()
+    assert top[0]["vec_id"] == 7 and abs(top[0]["cosine"] - 1.0) < 1e-9
+
+    # LSH: query's own vector shares its bucket by construction
+    lsh = sim.lsh_topk(df, q, k=5, num_planes=4).collect()
+    assert lsh and lsh[0]["vec_id"] == 7
+    # LSH results are a subset of the full ranking's ids scored identically
+    full = {r["vec_id"]: r["cosine"] for r in sim.brute_force_topk(df, q, k=200).collect()}
+    for r in lsh:
+        assert r["cosine"] == pytest.approx(full[r["vec_id"]], abs=1e-9)
+
+
+def test_pairwise_topk_per_label(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 0, [0.0, 1.0]),
+            (4, 1, [1.0, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    pairs = sim.pairwise_topk_per_label(df, k=1).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (1, 2) in got        # most similar within label 0
+    assert all(a != 4 and b != 4 for a, b in got)  # label blocking
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in a house"),
+            (2, "der hund und die katze ist ein tier"),
+            (3, "xyz qqq zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in tx.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today " * 3)],
+        "doc_id long, text string",
+    )
+    q = tx.quality_features(df).first()
+    assert q["n_tokens"] == 30
+    assert q["quality"] >= 70  # long, clean, stopworded text scores high
+    t = tx.token_counts(df).first()
+    assert t["ws_tokens"] == 30
+    assert t["bpe_ish_tokens"] >= 30
+
+
+def test_fingerprints_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "Some Text  Here"), (2, "some text here")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in tx.fingerprints(df).collect()}
+    assert out[1] == out[2]  # normalization collapses case/space
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [
+        (1, "d1", "image", bytearray(b"\x89PNGfakebytes"), {"fmt": "png"}),
+        (2, "d1", "video", bytearray(b"RIFFfakevideobytes"), {"fmt": "avi"}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    dec = mm.decode_media(media, feat_dim=4).collect()
+    assert len(dec) == 2
+    for r in dec:
+        assert 16 <= r["width"] <= 256 and len(r["feat"]) == 4
+    # determinism
+    dec2 = mm.decode_media(media, feat_dim=4).collect()
+    assert sorted(map(str, dec)) == sorted(map(str, dec2))
+
+    frames = mm.sample_frames(media).collect()
+    assert frames and all(r["media_id"] == 2 for r in frames)  # only video
+    assert [r["frame_idx"] for r in frames] == list(range(len(frames)))
+
+    rs = mm.resize_stub(mm.decode_media(media, feat_dim=4), target=224).collect()
+    for r in rs:
+        assert max(r["out_width"], r["out_height"]) == 224
+
+
+def test_strict_decode_raises(spark):
+    media = spark.createDataFrame(
+        [(1, "d1", "image", bytearray(b"x"), {})], mm.MEDIA_SCHEMA
+    )
+    old = mm.STRICT_DECODE
+    mm.STRICT_DECODE = True
+    try:
+        with pytest.raises(Exception):
+            mm.decode_media(media).collect()
+    finally:
+        mm.STRICT_DECODE = old
