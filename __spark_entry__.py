@@ -366,16 +366,15 @@ def q_nullsafe_equal_tags(spark, sf_dir):
 def q_duplicate_radius_join(spark, sf_dir):
     # J1 class: the engine runs its hex-cell k-ring join; the oracle
     # brute-forces the cross join — equality proves the cover guarantee
-    from osm_addr_bot_spark.geo import hex_cell_udf, hex_kring_udf
-    from osm_addr_bot_spark.geo.hexgrid import cover_k
+    from osm_addr_bot_spark.geo.hexgrid import cell_expr, cover_k, kring_expr
 
     pts = _cust_points(spark, sf_dir)
     k = cover_k(100.0, 9)
-    probe = pts.withColumn("cell", hex_cell_udf(9)(F.col("lat"), F.col("lon"))).withColumn(
-        "cell", F.explode(hex_kring_udf(k)(F.col("cell")))
+    probe = pts.withColumn(
+        "cell", F.explode(kring_expr(cell_expr(F.col("lat"), F.col("lon"), 9), k))
     )
     build = pts.select(
-        hex_cell_udf(9)(F.col("lat"), F.col("lon")).alias("cell"),
+        cell_expr(F.col("lat"), F.col("lon"), 9).alias("cell"),
         F.col("c_custkey").alias("k_b"),
         F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),
@@ -411,8 +410,7 @@ def q_duplicate_radius_join(spark, sf_dir):
 def q_street_tier_anti_join(spark, sf_dir):
     # J4 class: tiered cascade (500/1000/3000) over a named-point index;
     # result == flat NOT EXISTS within the largest tier
-    from osm_addr_bot_spark.geo import hex_cell_udf, hex_cover_udf
-    from osm_addr_bot_spark.geo.hexgrid import pick_res
+    from osm_addr_bot_spark.geo.hexgrid import cell_expr, pick_res, with_cover
 
     cust = _read(spark, sf_dir, "customer").selectExpr(
         "c_custkey", f"{_LAT} AS lat", f"{_LON} AS lon", "c_mktsegment AS seg"
@@ -426,11 +424,9 @@ def q_street_tier_anti_join(spark, sf_dir):
     remaining = cust
     for radius in (500.0, 1000.0, 3000.0):
         res = pick_res(radius)
-        probe = remaining.withColumn(
-            "cell", F.explode(hex_cover_udf(radius, res)(F.col("lat"), F.col("lon")))
-        )
+        probe = with_cover(remaining, radius, res, out="cell")
         idx = supp.select(
-            hex_cell_udf(res)(F.col("lat"), F.col("lon")).alias("cell"),
+            cell_expr(F.col("lat"), F.col("lon"), res).alias("cell"),
             F.col("seg").alias("s_seg"),
             F.col("lat").alias("s_lat"),
             F.col("lon").alias("s_lon"),

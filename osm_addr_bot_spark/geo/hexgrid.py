@@ -62,11 +62,17 @@ def _project(lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+def _half_up(x: np.ndarray) -> np.ndarray:
+    """round-half-up — matches the native Column floor(x + 0.5) exactly,
+    so numpy-side and JVM-side cell ids agree bit-for-bit."""
+    return np.floor(x + 0.5)
+
+
 def _cube_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Standard cube-coordinate rounding (axial q=x, r=z)."""
     x, z = qf, rf
     y = -x - z
-    rx, ry, rz = np.round(x), np.round(y), np.round(z)
+    rx, ry, rz = _half_up(x), _half_up(y), _half_up(z)
     dx, dy, dz = np.abs(rx - x), np.abs(ry - y), np.abs(rz - z)
     fix_x = (dx > dy) & (dx > dz)
     fix_z = ~fix_x & ~((dy > dz) & ~fix_x)  # dz largest (or tie) -> fix z
@@ -151,6 +157,82 @@ def pick_res(radius_m: float) -> int:
         if best is None or cost < best[0]:
             best = (cost, res)
     return best[1]
+
+
+# -------------------------------------------------- native Column builders
+# The same math as the numpy path, but as pure Spark SQL expressions —
+# whole-stage codegen, no Arrow round trip, no Python workers. These are
+# the hot-path implementations; the numpy/pandas-UDF forms remain for
+# batch pre-indexing and tests (equality is property-tested).
+
+
+def cell_expr(lat, lon, res: int):
+    """Native Column: (lat, lon) -> packed hex cell id at ``res``."""
+    from pyspark.sql import functions as F
+
+    e = EDGE_M[res]
+    kx = EARTH_RADIUS_M * math.cos(math.radians(HEX_LAT0_DEG))
+    x = F.radians(lon) * kx
+    y = F.radians(lat) * EARTH_RADIUS_M
+    qf = (2.0 / 3.0) * x / e
+    rf = (x * (-1.0 / 3.0) + y * (_SQRT3 / 3.0)) / e
+    yf = -qf - rf
+
+    def hu(c):  # half-up round, matching numpy _half_up
+        return F.floor(c + 0.5)
+
+    rx, ry, rz = hu(qf), hu(yf), hu(rf)
+    dx, dy, dz = F.abs(rx - qf), F.abs(ry - yf), F.abs(rz - rf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & ~(dy > dz)
+    q = F.when(fix_x, -ry - rz).otherwise(rx).cast("long")
+    r = F.when(~fix_x & fix_z, -rx - ry).otherwise(rz).cast("long")
+    # re-derive r against the (possibly fixed) q is unnecessary: fix_x and
+    # fix_z are mutually exclusive by construction, mirroring _cube_round
+    return (
+        F.lit(res).cast("long") * F.lit(1 << 58)
+        + (q + _OFF) * F.lit(1 << 29)
+        + (r + _OFF)
+    )
+
+
+def kring_expr(cell, k: int):
+    """Native Column: cell -> array of cells within hex distance k.
+
+    Because the packing is additive (res<<58 | (q+OFF)<<29 | (r+OFF))
+    and |q|,|r| << 2^28, a neighbor is simply
+    cell + dq*(1<<29) + dr — one add per ring member, no unpacking.
+    """
+    from pyspark.sql import functions as F
+
+    offs = _ring_offsets(k)
+    return F.array(*[cell + F.lit(int(dq) * (1 << 29) + int(dr)) for dq, dr in offs])
+
+
+def cover_expr(lat, lon, radius_m: float, res: int):
+    """Native Column: disk-cover cells (cell + k-ring per cover_k).
+
+    WARNING: inlines the trig cell computation into every ring member —
+    fine for k<=1 (7 copies folded by codegen is measurable but small);
+    for larger rings use ``with_cover`` which materializes the base cell
+    once (a 6x stage-cost difference was measured at k=3).
+    """
+    return kring_expr(cell_expr(lat, lon, res), cover_k(radius_m, res))
+
+
+def with_cover(df, radius_m: float, res: int, out: str = "_cell",
+               lat: str = "lat", lon: str = "lon"):
+    """Explode df by the disk-cover cells, computing the base cell ONCE
+    into a real column so codegen doesn't duplicate the trig per ring
+    member."""
+    from pyspark.sql import functions as F
+
+    k = cover_k(radius_m, res)
+    return (
+        df.withColumn("_cover_base", cell_expr(F.col(lat), F.col(lon), res))
+        .withColumn(out, F.explode(kring_expr(F.col("_cover_base"), k)))
+        .drop("_cover_base")
+    )
 
 
 # ------------------------------------------------------------- pandas UDFs

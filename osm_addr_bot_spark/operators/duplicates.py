@@ -39,8 +39,8 @@ from osm_addr_bot_spark.config import (
     SALT_BUCKETS,
     WHITELIST_TAGS,
 )
-from osm_addr_bot_spark.geo import haversine_m, hex_kring_udf
-from osm_addr_bot_spark.geo.hexgrid import cover_k
+from osm_addr_bot_spark.geo import haversine_m
+from osm_addr_bot_spark.geo.hexgrid import cover_k, kring_expr
 
 
 def whitelist_expr(tags: Column) -> Column:
@@ -78,6 +78,7 @@ def duplicates_stage(
     elements: DataFrame,
     radius_m: float = DUPLICATE_RADIUS_M,
     salt_buckets: int = SALT_BUCKETS,
+    hot_cell_threshold: int = 4000,
 ) -> DataFrame:
     """Run J1 for the DUPLICATED check's issue rows; returns the check's
     new issue set in the same long format."""
@@ -86,16 +87,48 @@ def duplicates_stage(
     iss = issues.filter(skip_large_expr()).filter(whitelist_expr(F.col("tags")))
 
     k = cover_k(radius_m, 9)
-    iss_probe = iss.withColumn("_cell", F.explode(hex_kring_udf(k)(F.col("hex9")))).withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+
+    cand_base = elements.filter(
+        F.map_contains_key(F.col("tags"), F.lit("addr:housenumber"))
+    ).filter(whitelist_expr(F.col("tags")))
+
+    # Targeted salting: only cells whose candidate count exceeds the
+    # threshold are split into salt buckets (build side) and probed with
+    # all salts (probe side). Cold cells — the overwhelming majority —
+    # keep salt 0 and pay no replication. The hot-cell list is one cheap
+    # aggregate, tiny even at 10^12 rows (bounded by #cells above the
+    # threshold), broadcast into both sides. AQE skew-join stays on as
+    # the backstop for skew this static rule can't see.
+    hot = (
+        cand_base.groupBy(F.col("hex9").alias("_cell"))
+        .count()
+        .filter(F.col("count") > hot_cell_threshold)
+        .select("_cell", F.lit(True).alias("_hot"))
+    )
+
+    iss_probe = (
+        iss.withColumn("_cell", F.explode(kring_expr(F.col("hex9"), k)))
+        .join(F.broadcast(hot), "_cell", "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot"), F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_hot")
     )
 
     cand = (
-        elements.filter(F.map_contains_key(F.col("tags"), F.lit("addr:housenumber")))
-        .filter(whitelist_expr(F.col("tags")))
+        cand_base.join(
+            F.broadcast(hot.withColumnRenamed("_cell", "hex9")), "hex9", "left"
+        )
         .select(
             F.col("hex9").alias("_cell"),
-            F.pmod(F.hash(F.col("uid")), F.lit(salt_buckets)).alias("_salt"),
+            F.when(F.col("_hot"), F.pmod(F.hash(F.col("uid")), F.lit(salt_buckets)))
+            .otherwise(F.lit(0))
+            .alias("_salt"),
             F.col("uid").alias("c_uid"),
             F.col("element_type").alias("c_element_type"),
             F.col("element_id").alias("c_element_id"),
@@ -124,8 +157,9 @@ def duplicates_stage(
         .filter(equal_tags_expr(F.col("tags"), F.col("c_tags")))
     )
 
-    # issues that found >= 1 duplicate survive
-    hit_keys = pairs.select("category", "check_id", "changeset_id", "uid").distinct()
+    # issues that found >= 1 duplicate survive (left_semi dedups the
+    # build side itself — no distinct shuffle needed)
+    hit_keys = pairs.select("category", "check_id", "changeset_id", "uid")
     surviving = iss.join(hit_keys, ["category", "check_id", "changeset_id", "uid"], "left_semi")
 
     # duplicates inherit issue provenance + zeroed bbox (quirk Q4)

@@ -85,8 +85,12 @@ def apply_user_gates(issues: DataFrame, changesets: DataFrame, users: DataFrame)
         F.col("changesets_count").isNotNull()
         & (F.col("changesets_count") >= F.col("min_changesets"))
     )
-    counts = gated.groupBy("category", "changeset_id").agg(F.count("*").alias("_n"))
-    small = counts.filter(F.col("_n") <= MAX_ISSUES_PER_CHANGESET).select("category", "changeset_id")
-    return gated.join(small, ["category", "changeset_id"], "left_semi").drop(
-        "cs_uid", "display_name", "changesets_count"
+    # issue cap as one window count — half the shuffles of groupBy+join
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("category", "changeset_id")
+    return (
+        gated.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= MAX_ISSUES_PER_CHANGESET)
+        .drop("_n", "cs_uid", "display_name", "changesets_count")
     )

@@ -107,6 +107,35 @@ def filter_guilty(
     issues: DataFrame, elements_history: DataFrame, fidelity: bool = False
 ) -> DataFrame:
     """Keep only issues of guilty changesets (reference main.py:221-223:
-    'Not guilty' changesets are skipped entirely)."""
-    g = guilty_changesets(issues, elements_history, fidelity).filter("guilty")
-    return issues.join(g.select("category", "changeset_id"), ["category", "changeset_id"], "left_semi")
+    'Not guilty' changesets are skipped entirely).
+
+    Single-pass form: per-row verdicts are window-aggregated over
+    (category, changeset_id) on the already-joined rows — one shuffle
+    instead of aggregate + semi join."""
+    from pyspark.sql import Window
+
+    hist = elements_history.select(
+        "element_type", "element_id", "valid_from", "valid_to", F.col("tags").alias("old_tags")
+    ).alias("h")
+    iss = issues.alias("i")
+    asof = F.col("i.timestamp") - 1
+    joined = iss.join(
+        hist,
+        (F.col("i.element_type") == F.col("h.element_type"))
+        & (F.col("i.element_id") == F.col("h.element_id"))
+        & (F.col("h.valid_from") <= asof)
+        & (asof < F.col("h.valid_to")),
+        "left",
+    ).select("i.*", "h.old_tags")
+    created = F.col("old_tags").isNull()
+    diff = F.map_filter(
+        F.col("tags"), lambda k, v: ~v.eqNullSafe(F.element_at(F.col("old_tags"), k))
+    )
+    row_guilty = F.when(created, F.lit(True)).otherwise(_diff_selector_expr(diff, fidelity))
+    w = Window.partitionBy("category", "changeset_id")
+    return (
+        joined.withColumn("_g", row_guilty)
+        .withColumn("_guilty", F.max("_g").over(w))
+        .filter(F.col("_guilty"))
+        .drop("_g", "_guilty", "old_tags")
+    )

@@ -27,7 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from osm_addr_bot_spark.config import UID_OFFSET
-from osm_addr_bot_spark.geo import haversine_m, hex_cell_udf, s2_cell_udf
+from osm_addr_bot_spark.geo import haversine_m, s2_cell_udf
+from osm_addr_bot_spark.geo.hexgrid import cell_expr
 from osm_addr_bot_spark.schemas import ELEMENT_JSON, MEDIA_JSON
 
 
@@ -119,7 +120,7 @@ def parse_elements(
     if with_index:
         e = e.withColumns(
             {
-                "hex9": hex_cell_udf(9)(F.col("lat"), F.col("lon")),
+                "hex9": cell_expr(F.col("lat"), F.col("lon"), 9),  # native, codegen'd
                 "s2_15": s2_cell_udf(15)(F.col("lat"), F.col("lon")),
             }
         )

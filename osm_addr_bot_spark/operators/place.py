@@ -40,10 +40,9 @@ from pyspark.sql import functions as F
 
 from osm_addr_bot_spark.config import PLACE_PROXIMITY_M
 from osm_addr_bot_spark.checks.selectors import normalize_expr
-from osm_addr_bot_spark.geo import haversine_m, hex_cell_udf
-from osm_addr_bot_spark.geo.hexgrid import cover_k, pick_res
+from osm_addr_bot_spark.geo import haversine_m
+from osm_addr_bot_spark.geo.hexgrid import cell_expr, pick_res, with_cover
 from osm_addr_bot_spark.geo.pip import point_in_ring, polygons_with_cells
-from osm_addr_bot_spark.geo import hex_cover_udf
 from osm_addr_bot_spark.operators.duplicates import skip_large_expr
 
 _PIP_RES = 7
@@ -57,7 +56,7 @@ def _pip_hits(issues: DataFrame, polygons: DataFrame, name_equi: bool) -> DataFr
     polys = polygons.filter(F.col("admin_level").isNull())
     poly_cells = polygons_with_cells(polys, _PIP_RES)
 
-    probe = issues.withColumn("_cell", hex_cell_udf(_PIP_RES)(F.col("lat"), F.col("lon")))
+    probe = issues.withColumn("_cell", cell_expr(F.col("lat"), F.col("lon"), _PIP_RES))
     if name_equi:
         probe = probe.withColumn("_name", F.element_at(F.col("tags"), F.lit("addr:place")))
         cond = ["_cell", "_name"]
@@ -81,14 +80,14 @@ def place_not_in_area_stage(
     (arm B) hit."""
     iss = issues.filter(skip_large_expr())
 
-    hit_a = _pip_hits(iss, polygons, name_equi=True).select(*_ISSUE_KEY).distinct()
+    hit_a = _pip_hits(iss, polygons, name_equi=True).select(*_ISSUE_KEY)
 
     res = pick_res(radius_m)
-    probe = iss.withColumn("_name", F.element_at(F.col("tags"), F.lit("addr:place"))).withColumn(
-        "_cell", F.explode(hex_cover_udf(radius_m, res)(F.col("lat"), F.col("lon")))
+    probe = with_cover(
+        iss.withColumn("_name", F.element_at(F.col("tags"), F.lit("addr:place"))), radius_m, res
     )
     nodes = place_nodes.select(
-        hex_cell_udf(res)(F.col("lat"), F.col("lon")).alias("_cell"),
+        cell_expr(F.col("lat"), F.col("lon"), res).alias("_cell"),
         F.col("name").alias("_name"),
         F.col("lat").alias("p_lat"),
         F.col("lon").alias("p_lon"),
@@ -100,10 +99,10 @@ def place_not_in_area_stage(
             <= F.lit(float(radius_m))
         )
         .select(*_ISSUE_KEY)
-        .distinct()
     )
 
-    hits = hit_a.unionByName(hit_b).distinct()
+    # anti join tolerates duplicate keys on the build side — no distinct
+    hits = hit_a.unionByName(hit_b)
     return iss.join(hits, _ISSUE_KEY, "left_anti")
 
 

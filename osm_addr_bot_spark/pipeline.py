@@ -89,6 +89,7 @@ def run_pipeline(
     stage_checkpoints: bool = False,
     ignore_already_discussed: bool = False,
     zoom: int | None = None,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """Run everything; returns the output DataFrames (lazy unless
     stage_checkpoints materializes them)."""
@@ -106,19 +107,42 @@ def run_pipeline(
     run_id = f"run-{end_ts if end_ts is not None else 'full'}"
     stages = StageRunner(spark, checkpoint_dir or "/tmp/osm_ckpt", run_id, enabled=stage_checkpoints)
 
-    # candidate pool for J1 is the whole universe, not just the window
-    elements_all = parse_elements(t["documents"])
-    elements = parse_elements(t["documents"], start_ts=start_ts, end_ts=end_ts)
+    # The documents table often arrives as few large files (one, in the
+    # synthetic world); fan the rows out across the cluster BEFORE the
+    # expensive JSON-parse + cell-index stage or it runs on <= #files
+    # tasks. A round-robin shuffle of the raw spans is far cheaper than
+    # serializing the parse. (At 100 TB the table is already thousands
+    # of files and AQE leaves this as a no-op-ish cheap exchange.)
+    par = spark.sparkContext.defaultParallelism
+    documents = t["documents"].repartition(par)
+
+    # parse ONCE; the windowed view is a filter over the same plan so the
+    # persisted scan serves both the issue path and the J1 candidate pool
+    elements_all = parse_elements(documents)
+    if persist:
+        elements_all = elements_all.persist()
+    elements = elements_all
+    if start_ts is not None:
+        elements = elements.filter(F.col("timestamp") >= F.lit(start_ts))
+    if end_ts is not None:
+        elements = elements.filter(F.col("timestamp") <= F.lit(end_ts))
 
     issues0 = stages.run("fanout", lambda: fan_out_checks(elements, fidelity=fidelity))
     issues1 = filter_should_not_discuss(issues0, t["changesets"], ignore_already_discussed)
     issues2 = filter_priority(issues1, consider_post_fn=True)
+    if persist and not stage_checkpoints:
+        issues2 = issues2.persist()  # feeds four spatial stages
     issues3 = stages.run(
         "post_stages",
         lambda: apply_post_stages(
             issues2, elements_all, t["polygons"], t["streets"], t["place_nodes"]
         ),
     )
+
+    if persist and not stage_checkpoints:
+        # the spatial-stage output is consumed by the guilt check twice
+        # (verdict aggregate + semi join back) and everything downstream
+        issues3 = issues3.persist()
 
     # J8/T3: merge prior-run backlog before the per-changeset phase
     merged = issues3
@@ -135,10 +159,12 @@ def run_pipeline(
     final_issues = stages.run(
         "final_issues", lambda: apply_user_gates(deduped, t["changesets"], t["users"])
     )
+    if persist and not stage_checkpoints:
+        final_issues = final_issues.persist()  # feeds reports + tiles + counts
 
     reports = compose_reports(final_issues, t["users"], t["changesets"], fidelity)
 
-    media = parse_media(t["documents"])
+    media = parse_media(documents)
     kw = {"zoom": zoom} if zoom is not None else {}
     tiles = assign_tiles(final_issues, **kw)
     overlap = raster_vector_overlap(elements_all, media, **kw)

@@ -148,3 +148,29 @@ def test_xyz_tile(spark):
     row = df.select(x.alias("x"), y.alias("y"), xyz_tile_ref(F.col("lat"), F.col("lon"), z).alias("r")).first()
     assert (row["x"], row["y"]) == (ex, ey)
     assert row["r"] == f"{z}/{ex}/{ey}"
+
+
+def test_native_cell_expr_matches_numpy(spark):
+    """The native Column hex math must agree bit-for-bit with the numpy
+    path (joins mix the two)."""
+    rng = np.random.default_rng(21)
+    lat, lon = _rand_points(2000, rng)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lon)], "lat double, lon double"
+    )
+    for res in (5, 7, 8, 9):
+        got = [r["c"] for r in df.select(hg.cell_expr(F.col("lat"), F.col("lon"), res).alias("c")).collect()]
+        want = list(hg.cell_of(lat, lon, res))
+        assert got == want, f"res={res}"
+
+
+def test_native_kring_expr_matches_numpy(spark):
+    rng = np.random.default_rng(22)
+    lat, lon = _rand_points(200, rng)
+    cells = hg.cell_of(lat, lon, 9)
+    df = spark.createDataFrame([(int(c),) for c in cells], "cell long")
+    for k in (1, 2):
+        got = [r["kr"] for r in df.select(hg.kring_expr(F.col("cell"), k).alias("kr")).collect()]
+        want = hg.kring(cells, k)
+        for g, w in zip(got, want):
+            assert sorted(g) == sorted(w), f"k={k}"

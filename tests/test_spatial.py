@@ -312,3 +312,45 @@ def test_guilt_changeset_level(spark):
     )
     kept = filter_guilty(issues, hist)
     assert kept.count() == 2
+
+
+def test_duplicates_salting_preserves_results(spark):
+    """Row-for-row equality between salted (hot cell forced) and
+    unsalted plans — the skew mechanism must not change semantics."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = []
+    # 60 addresses inside one res-9 cell (a 'hot' urban cell)
+    for i in range(60):
+        la, lo = offset(LAT, LON, north_m=float(rng.uniform(-60, 60)),
+                        east_m=float(rng.uniform(-60, 60)))
+        etype = "node" if i % 2 == 0 else "way"
+        rows.append(
+            mk_issue(check_id="DUPLICATED", changeset_id=100 + i, element_id=i + 1,
+                     element_type=etype, tags=dict(ADDR, building="yes"), lat=la, lon=lo)
+        )
+    issues = issues_df(spark, [r for i, r in enumerate(rows) if i % 3 == 0])
+    elements = elements_df(spark, rows)
+
+    salted = duplicates_stage(issues, elements, salt_buckets=8, hot_cell_threshold=10)
+    plain = duplicates_stage(issues, elements, salt_buckets=1, hot_cell_threshold=10**9)
+    key = lambda r: (r["check_id"], r["changeset_id"], r["uid"], r["timestamp"])
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+    assert salted.count() > 0
+
+
+def test_street_cascade_equals_single_join(spark):
+    """cascade=True (reference-shaped tier loop) and the default single
+    max-tier join must produce identical rows."""
+    streets = _streets(
+        spark,
+        [_street_at(400, "Polna"), _street_at(2500, "Leśna"), _street_at(3300, "Ogrodowa", n_pts=1)],
+    )
+    issues = issues_df(
+        spark, [_usn(1, "Polna"), _usn(2, "Leśna"), _usn(3, "Ogrodowa"), _usn(4, "Zmyślona")]
+    )
+    single = street_names_stage(issues, streets)
+    casc = street_names_stage(issues, streets, cascade=True)
+    key = lambda r: (r["check_id"], r["changeset_id"], r["uid"])
+    assert sorted(map(key, single.collect())) == sorted(map(key, casc.collect()))
