@@ -67,10 +67,17 @@ STREET_BASE = [
 ]
 
 
-def _make_world(rng: np.random.Generator):
+def _make_world(rng: np.random.Generator, n_towns: int = 20):
     """Town centers, polygons, streets, place nodes. Twin towns 6 km apart
-    give the 10 km proximity arm positive cases."""
-    n = len(TOWN_NAMES)
+    give the 10 km proximity arm positive cases.
+
+    ``n_towns`` scales the world's AREA with document count (real data
+    adds cities, it doesn't densify 20 towns forever) — without this,
+    candidate density and the quadratic radius-join pair count blow up
+    with n_docs and benchmarks measure a pathology, not the engine.
+    """
+    names = list(TOWN_NAMES) + [f"Miasto {i}" for i in range(len(TOWN_NAMES), n_towns)]
+    n = len(names)
     lat = rng.uniform(SEARCH_BBOX["min_lat"] + 0.5, SEARCH_BBOX["max_lat"] - 0.5, n)
     lon = rng.uniform(SEARCH_BBOX["min_lon"] + 0.5, SEARCH_BBOX["max_lon"] - 0.5, n)
     # towns 18/19 are twins of towns 0/1, ~6 km east (inside 10 km arm)
@@ -80,7 +87,7 @@ def _make_world(rng: np.random.Generator):
 
     polygons, streets, place_nodes = [], [], []
     town_streets: list[list[str]] = []
-    for i, name in enumerate(TOWN_NAMES):
+    for i, name in enumerate(names):
         radius = rng.uniform(2500, 4000)
         n_vert = 18
         ang = np.linspace(0, 2 * math.pi, n_vert, endpoint=False)
@@ -116,9 +123,9 @@ def _make_world(rng: np.random.Generator):
         place_nodes.append(
             {"node_id": 8000 + i, "name": name, "lat": float(lat[i]), "lon": float(lon[i])}
         )
-        names = [f"{s}" for s in rng.permutation(STREET_BASE)[:8]]
-        town_streets.append(names)
-        for j, sname in enumerate(names):
+        snames = [f"{s}" for s in rng.permutation(STREET_BASE)[:8]]
+        town_streets.append(snames)
+        for j, sname in enumerate(snames):
             sx = lat[i] + _m2deg_lat(rng.uniform(-1500, 1500))
             sy = lon[i] + _m2deg_lon(rng.uniform(-1500, 1500), lat[i])
             heading = rng.uniform(0, 2 * math.pi)
@@ -138,7 +145,7 @@ def _make_world(rng: np.random.Generator):
                     "points": pts,
                 }
             )
-    return lat, lon, polygons, streets, place_nodes, town_streets
+    return names, lat, lon, polygons, streets, place_nodes, town_streets
 
 
 # ------------------------------------------------------------- element build
@@ -171,8 +178,12 @@ def generate(out_dir: str | os.PathLike, n_docs: int = 500, seed: int = 42) -> d
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
-    tlat, tlon, polygons, streets, place_nodes, town_streets = _make_world(rng)
-    n_towns = len(TOWN_NAMES)
+    # world area scales with document count (constant density ~3k docs
+    # per town); the hotspot town keeps a strong skew but is capped so
+    # it stresses the salt path, not quadratic-pair physics
+    n_towns = max(20, n_docs // 3000)
+    hotspot_frac = min(0.30, 20_000 / max(n_docs, 1))
+    town_names, tlat, tlon, polygons, streets, place_nodes, town_streets = _make_world(rng, n_towns)
 
     users = []
     for u in range(60):
@@ -189,10 +200,10 @@ def generate(out_dir: str | os.PathLike, n_docs: int = 500, seed: int = 42) -> d
     for d in range(n_docs):
         cs_id = 1000 + d
         # 30% of changesets in the hotspot town 0 (urban skew)
-        town = 0 if rng.random() < 0.30 else int(rng.integers(0, n_towns))
-        town_name = TOWN_NAMES[town]
-        near = TOWN_NAMES[{18: 0, 19: 1, 0: 18, 1: 19}.get(town, (town + 1) % n_towns)]
-        far = TOWN_NAMES[(town + n_towns // 2) % n_towns]
+        town = 0 if rng.random() < hotspot_frac else int(rng.integers(0, n_towns))
+        town_name = town_names[town]
+        near = town_names[{18: 0, 19: 1, 0: 18, 1: 19}.get(town, (town + 1) % n_towns)]
+        far = town_names[(town + n_towns // 2) % n_towns]
 
         uid = DELETED_UID if rng.random() < 0.03 else int(rng.choice([u["user_uid"] for u in users]))
         created_by = str(
