@@ -824,6 +824,32 @@ def q_text_fingerprints(spark, sf_dir):
     return tx.fingerprints(_read(spark, sf_dir, "documents"))
 
 
+_PAIR_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@_q(
+    "ann_embedding_near_dups",
+    f"""
+    SELECT vec_a, vec_b, label, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             round({_PAIR_COS_SQL}, 4) AS cosine,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY round({_PAIR_COS_SQL}, 4) DESC, b.vec_id) AS rk
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE rk <= 3
+    """,
+)
+def q_ann_embedding_near_dups(spark, sf_dir):
+    # embedding-cosine near-dup: label-blocked all-pairs + top-k per row
+    out = sim.pairwise_topk_per_label(_read(spark, sf_dir, "embeddings"), k=3)
+    return out.select("vec_a", "vec_b", "label", F.round("cosine", 4).alias("cosine"))
+
+
 # ------------------------------------------------- streaming-shaped / window
 @_q(
     "events_sessionize",

@@ -28,6 +28,12 @@ def main() -> int:
     ap.add_argument("--end-ts", type=int, default=None)
     ap.add_argument("--stage-checkpoints", action="store_true")
     ap.add_argument("--fidelity", action="store_true")
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="print composed messages instead of writing the reports sink "
+        "(the reference's DRY_RUN console sink, main.py:247-252)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
@@ -46,7 +52,12 @@ def main() -> int:
         stage_checkpoints=args.stage_checkpoints,
     )
     stats = {}
-    if args.output_dir:
+    if args.dry_run:
+        for r in out["reports"].limit(20).collect():
+            print(f"--- changeset {r['changeset_id']} [{r['category']}] ---")
+            print(r["message"])
+        stats["reports"] = out["reports"].count()
+    elif args.output_dir:
         for name in ("issues", "reports", "overlap"):
             path = os.path.join(args.output_dir, name)
             out[name].write.mode("overwrite").parquet(path)

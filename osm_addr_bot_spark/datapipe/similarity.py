@@ -117,5 +117,7 @@ def pairwise_topk_per_label(
             cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), "vec_b")
+    # rank on the ROUNDED score: engines may differ in the last ulp of a
+    # float dot product, and a raw-score order could flip the k-boundary
+    w = Window.partitionBy("vec_a").orderBy(F.desc(F.round("cosine", 4)), "vec_b")
     return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

@@ -51,13 +51,16 @@ def filter_should_not_discuss(
     """Drop issues whose changeset fails should_discuss
     (reference main.py:51-66) — a broadcast semi join."""
     ok = should_discuss_flags(changesets, ignore_already_discussed).filter("should_discuss")
-    return issues.join(F.broadcast(ok.select("changeset_id")), "changeset_id", "left_semi")
+    # NO broadcast hint: the changesets dim is one row per changeset —
+    # it scales with the data (broadcasting it serializes O(data) through
+    # the driver). AQE picks broadcast automatically when it IS small.
+    return issues.join(ok.select("changeset_id"), "changeset_id", "left_semi")
 
 
 def split_open_changesets(issues: DataFrame, changesets: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(closed_issues, rescheduled_issues) — open changesets are deferred
     to the next run, not processed (reference main.py:215-217)."""
-    flags = F.broadcast(changesets.select("changeset_id", "open"))
+    flags = changesets.select("changeset_id", "open")  # data-sized: no hint
     joined = issues.join(flags, "changeset_id", "left")
     closed = joined.filter(~F.coalesce(F.col("open"), F.lit(False))).drop("open")
     rescheduled = joined.filter(F.coalesce(F.col("open"), F.lit(False))).drop("open")
@@ -75,9 +78,9 @@ def apply_user_gates(issues: DataFrame, changesets: DataFrame, users: DataFrame)
     Input issues must carry `category` and `min_changesets`.
     """
     authored = issues.join(
-        F.broadcast(changesets.select("changeset_id", "cs_uid")), "changeset_id", "left"
+        changesets.select("changeset_id", "cs_uid"), "changeset_id", "left"  # data-sized
     ).join(
-        F.broadcast(users.withColumnRenamed("user_uid", "cs_uid")),
+        F.broadcast(users.withColumnRenamed("user_uid", "cs_uid")),  # users dim: tiny
         "cs_uid",
         "left",
     )

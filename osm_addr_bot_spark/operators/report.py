@@ -122,7 +122,7 @@ def compose_reports(
     (category, changeset). Needs the author's changesets_count; the dims
     are broadcast (J6/J7)."""
     enriched = (
-        issues.join(F.broadcast(changesets.select("changeset_id", "cs_uid")), "changeset_id")
+        issues.join(changesets.select("changeset_id", "cs_uid"), "changeset_id")  # data-sized
         .join(
             F.broadcast(users.selectExpr("user_uid as cs_uid", "changesets_count")),
             "cs_uid",

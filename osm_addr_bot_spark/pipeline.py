@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from osm_addr_bot_spark.checks import fan_out_checks
 from osm_addr_bot_spark.operators.dedup import filter_priority
@@ -38,6 +39,12 @@ from osm_addr_bot_spark.operators.report import compose_reports
 from osm_addr_bot_spark.operators.streets import street_names_stage
 from osm_addr_bot_spark.operators.tiles import assign_tiles, raster_vector_overlap
 from osm_addr_bot_spark.state.checkpoint import Checkpoint, StageRunner
+
+
+# Serialized off-heap-ish caching: deserialized MEMORY_AND_DISK rows of
+# map-typed tags create heavy GC pressure at millions of rows; DISK_ONLY
+# against a fast local dir (tmpfs/NVMe) is GC-free and measured faster.
+PERSIST_LEVEL = StorageLevel.DISK_ONLY
 
 
 def load_tables(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
@@ -120,7 +127,7 @@ def run_pipeline(
     # persisted scan serves both the issue path and the J1 candidate pool
     elements_all = parse_elements(documents)
     if persist:
-        elements_all = elements_all.persist()
+        elements_all = elements_all.persist(PERSIST_LEVEL)
     elements = elements_all
     if start_ts is not None:
         elements = elements.filter(F.col("timestamp") >= F.lit(start_ts))
@@ -131,7 +138,7 @@ def run_pipeline(
     issues1 = filter_should_not_discuss(issues0, t["changesets"], ignore_already_discussed)
     issues2 = filter_priority(issues1, consider_post_fn=True)
     if persist and not stage_checkpoints:
-        issues2 = issues2.persist()  # feeds four spatial stages
+        issues2 = issues2.persist(PERSIST_LEVEL)  # feeds four spatial stages
     issues3 = stages.run(
         "post_stages",
         lambda: apply_post_stages(
@@ -142,7 +149,7 @@ def run_pipeline(
     if persist and not stage_checkpoints:
         # the spatial-stage output is consumed by the guilt check twice
         # (verdict aggregate + semi join back) and everything downstream
-        issues3 = issues3.persist()
+        issues3 = issues3.persist(PERSIST_LEVEL)
 
     # J8/T3: merge prior-run backlog before the per-changeset phase
     merged = issues3
@@ -160,7 +167,7 @@ def run_pipeline(
         "final_issues", lambda: apply_user_gates(deduped, t["changesets"], t["users"])
     )
     if persist and not stage_checkpoints:
-        final_issues = final_issues.persist()  # feeds reports + tiles + counts
+        final_issues = final_issues.persist(PERSIST_LEVEL)  # feeds reports + tiles + counts
 
     reports = compose_reports(final_issues, t["users"], t["changesets"], fidelity)
 

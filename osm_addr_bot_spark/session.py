@@ -42,6 +42,11 @@ def get_spark(
 
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # measured wins (BENCH.md): executor-local storage on tmpfs when
+        # the host has one (a real cluster's local SSD analog), and
+        # finer input splits so single-file tables scan in parallel
+        **({"spark.local.dir": "/dev/shm/spark-local"} if os.path.isdir("/dev/shm") else {}),
+        "spark.sql.files.maxPartitionBytes": "16m",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
