@@ -636,6 +636,9 @@ def q_dedup_minhash_lsh_pairs(spark, sf_dir):
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # exact (no stop-shingle cap): the driver corpus is non-Zipfian word
+    # salad where a df cap costs more than it saves; max_df stays
+    # available in the operator for real Zipfian text
     out = dd.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.2)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 

@@ -146,16 +146,30 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     key: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
-    threshold — inverted-index join, no n² blowup."""
+    threshold — inverted-index join, no n² blowup.
+
+    ``max_df`` drops shingles whose document frequency exceeds it from
+    the JOIN side only (sizes keep every shingle): a stop-shingle
+    appearing in thousands of docs contributes a quadratic pair burst
+    while carrying ~no similarity signal. Exact Jaccard is preserved
+    for any pair whose intersection isn't made solely of dropped
+    shingles; pairs whose overlap includes dropped shingles get an
+    UNDER-estimate (conservative: no false positives). None = exact.
+    """
     sh = docs.select(
         F.col(key).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        joinable = sh.join(rare.select("sh"), "sh", "left_semi")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -184,3 +184,18 @@ def test_strict_decode_raises(spark):
             mm.decode_media(media).collect()
     finally:
         mm.STRICT_DECODE = old
+
+
+def test_ngram_jaccard_max_df_conservative(spark, docs):
+    """The df cap only removes pairs (under-estimates), never adds."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.3, max_df=2).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9
