@@ -558,11 +558,10 @@ _W_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 
 def _shingle3_sql() -> str:
-    w = _W_SQL
-    return (
-        f"list_transform(range(1, greatest(len({w}) - 1, 1)),"
-        f" i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])"
-    )
+    # dd.shingle_sql carries the <3-words fallback ([normalized text]) that
+    # word_shingles has on the Spark side — keep both sides identical for
+    # short documents
+    return dd.shingle_sql("text", 3)
 
 
 @_q(
@@ -908,7 +907,9 @@ def q_topk_per_group(spark, sf_dir):
 @_q(
     "json_props_extract",
     """
-    SELECT event_type, sum(CASE WHEN json_extract_string(props, '$.k')::bigint > 50 THEN 1 ELSE 0 END) AS n_big,
+    -- ::bigint: DuckDB sum(CASE) yields HUGEINT, which fetches as float64
+    -- and fails the driver's TYPED value-hash against Spark's bigint
+    SELECT event_type, sum(CASE WHEN json_extract_string(props, '$.k')::bigint > 50 THEN 1 ELSE 0 END)::bigint AS n_big,
            count(*) AS n
     FROM events GROUP BY event_type
     """,

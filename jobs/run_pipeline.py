@@ -64,6 +64,9 @@ def main() -> int:
             stats[name] = spark.read.parquet(path).count()
     else:
         stats = {name: out[name].count() for name in ("issues", "reports", "overlap")}
+    if "commit" in out:
+        # watermark advances only after every sink above materialized
+        out["commit"]()
     stats["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     return 0

@@ -6,10 +6,11 @@ selector set compiles once to a Column expression over the MapType tags
 column — evaluated JVM-side for all rows, no Python in the loop.
 
 Semantics preserved exactly:
-  * full match: ALL static keys present AND each glob matches >=1 key;
-    empty selector set -> False (reference check_base.py:29-30)
-  * partial match: ANY static key present OR any glob matches, and an
-    empty selector set is vacuously True (reference check_base.py:37-41)
+  * empty selector set -> False in BOTH modes: the reference early-returns
+    when static and dynamic are both empty (check_base.py:29-30); its
+    later vacuous branch (check_base.py:41) is unreachable
+  * full match: ALL static keys present AND each glob matches >=1 key
+  * partial match: ANY static key present OR any glob matches
 """
 
 from __future__ import annotations
@@ -56,16 +57,15 @@ def selector_expr(tags: Column, selectors: tuple[str, ...], partial: bool) -> Co
     static_exprs = [F.map_contains_key(tags, F.lit(s)) for s in static]
     dynamic_exprs = [_glob_expr(s) for s in dynamic]
 
+    if not selectors:
+        return F.lit(False)  # reference check_base.py:29-30 (both modes)
+
     if partial:
-        if not selectors:
-            return F.lit(True)  # vacuous (reference check_base.py:41)
         acc = F.lit(False)
         for e in static_exprs + dynamic_exprs:
             acc = acc | e
         return acc
 
-    if not selectors:
-        return F.lit(False)  # reference check_base.py:29-30
     acc = F.lit(True)
     for e in static_exprs + dynamic_exprs:
         acc = acc & e

@@ -214,10 +214,24 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", key: str = 
     return votes.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 6, bits: int = 32, bands: int = 4) -> DataFrame:
-    """Banded Hamming join: candidates share one of ``bands`` equal-width
-    bit bands (pigeonhole: any pair within max_hamming < bands shares
-    >= 1 exact band when max_hamming < bands); verify with bit_count."""
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 6, bits: int = 32, bands: int | None = None
+) -> DataFrame:
+    """Banded Hamming join, verified with bit_count.
+
+    Recall contract: the pigeonhole guarantee (every pair within
+    ``max_hamming`` shares >= 1 exact band) holds ONLY when
+    ``max_hamming < bands``. ``bands=None`` (default) derives
+    ``max_hamming + 1`` bands, so the default is complete. Passing fewer
+    bands explicitly is an APPROXIMATION: pairs whose differing bits
+    touch every band are missed (recall < 1, precision unaffected —
+    candidates are still verified by exact Hamming distance).
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bits % bands != 0:
+        # equal-width bands need bands | bits; round up to the next divisor
+        bands = next(b for b in range(bands, bits + 1) if bits % b == 0)
     width = bits // bands
     mask = (1 << width) - 1
     banded = fps.select(

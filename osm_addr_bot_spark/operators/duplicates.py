@@ -187,13 +187,21 @@ def duplicates_stage(
         F.col("c_s2_15").alias("s2_15"),
     ).select(*issue_cols)
 
-    out = surviving.select(*issue_cols).unionByName(dup_rows)
+    out = surviving.select(*issue_cols).withColumn("_is_dup", F.lit(0)).unionByName(
+        dup_rows.withColumn("_is_dup", F.lit(1))
+    )
 
-    # set semantics on uid within the check (reference result:set) —
-    # deterministic winner: smallest (changeset_id, timestamp, doc_id)
+    # set semantics on uid within the check (reference result:set): the
+    # reference builds set(issues) FIRST and then .update(duplicates)
+    # (overpass.py:239-272) — an element that is both a surviving issue
+    # and someone else's duplicate keeps its OWN provenance (first-in
+    # wins). Order issue rows before dup rows, then deterministic
+    # tie-break within each class.
     w = Window.partitionBy("category", "check_id", "uid").orderBy(
-        "changeset_id", "timestamp", "doc_id", "span_offset"
+        "_is_dup", "changeset_id", "timestamp", "doc_id", "span_offset"
     )
     return (
-        out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_dup")
     )

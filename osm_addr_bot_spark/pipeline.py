@@ -184,6 +184,13 @@ def run_pipeline(
         "tiles": tiles,
         "overlap": overlap,
     }
+    # State is written LAST, like the reference (main.py:256-257): the
+    # caller materializes its sinks first, then calls out["commit"]() to
+    # write reports/backlog and advance the watermark in one atomic
+    # rename. Committing here would let a post-commit sink failure skip
+    # the window permanently.
     if ckpt and end_ts is not None:
-        ckpt.commit(end_ts, rescheduled, reports, metrics=stages.metrics or None)
+        out["commit"] = lambda: ckpt.commit(
+            end_ts, rescheduled, reports, metrics=stages.metrics or None
+        )
     return out

@@ -42,6 +42,16 @@ def compare(name, sdf, sql, con) -> str:
         return f"SCHEMA-MISMATCH spark={scols} oracle={ocols}"
     if len(spark_rows) != len(orows):
         return f"ROWS-MISMATCH spark={len(spark_rows)} oracle={len(orows)}"
+    # dtype-strict: the driver's value-hash is TYPE-sensitive (e.g. DuckDB
+    # HUGEINT fetches as float while Spark emits int — values equal, hash
+    # not). Compare the python type of the first non-null cell per column.
+    if spark_rows and orows:
+        omap_raw = {c: i for i, c in enumerate(ocols_raw)}
+        for c in scols:
+            st = next((type(r[c]).__name__ for r in spark_rows if r[c] is not None), None)
+            ot = next((type(r[omap_raw[c]]).__name__ for r in orows if r[omap_raw[c]] is not None), None)
+            if st is not None and ot is not None and st != ot:
+                return f"TYPE-MISMATCH col={c} spark={st} oracle={ot}"
     sset = sorted(
         tuple(norm_cell(r[c]) for c in scols) for r in spark_rows
     )

@@ -190,9 +190,11 @@ def test_selector_engine(spark):
     assert got(("addr:city", "shop"), partial=False) == set()
     # partial: any
     assert got(("addr:city", "shop"), partial=True) == {"addrcity", "none"}
-    # empty: full -> False, partial -> vacuous True
+    # empty selector set -> False in BOTH modes: the reference early-returns
+    # when static and dynamic are empty (check_base.py:29-30); its vacuous
+    # partial branch (check_base.py:41) is unreachable
     assert got((), partial=False) == set()
-    assert got((), partial=True) == {"addrcity", "address", "none"}
+    assert got((), partial=True) == set()
 
 
 def test_category_selector_prefilter(spark):

@@ -130,8 +130,10 @@ def test_checkpoint_resume(spark, synth_dir, tmp_path):
         for r in out1["issues"].collect()
     }
 
-    # watermark committed
+    # state writes LAST: watermark must not move until the caller commits
     ckpt = Checkpoint(str(ck))
+    assert ckpt.read_watermark() is None
+    out1["commit"]()
     assert ckpt.read_watermark() == T0 + WINDOW_S
 
     # lineage manifests exist with per-partition rows
@@ -176,6 +178,7 @@ def test_rescheduled_backlog_merges_next_run(spark, synth_dir, tmp_path):
     if n_resched == 0:
         return  # generator produced no open changesets in this seed — covered elsewhere
 
+    out1["commit"]()
     ckpt = Checkpoint(str(ck))
     backlog = ckpt.read_rescheduled(spark, start_ts=T0 + WINDOW_S + 10)
     assert backlog is not None and backlog.count() == n_resched

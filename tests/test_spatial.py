@@ -53,6 +53,24 @@ def test_duplicates_positive_and_negative_distance(spark):
     assert dup["bb_width_m"] == 0.0 and dup["minlat"] == 0.0  # zeroed bbox (Q4)
 
 
+def test_duplicates_issue_and_duplicate_first_in_wins(spark):
+    """An element that is both a surviving issue and another issue's
+    duplicate keeps its OWN provenance: the reference builds set(issues)
+    first, then .update(duplicates) — first-in wins (overpass.py:239-272).
+    The inherited dup row here carries a SMALLER changeset id, so a
+    min-(changeset, timestamp) winner would wrongly prefer it."""
+    la2, lo2 = offset(LAT, LON, east_m=80)
+    a = mk_issue(check_id="DUPLICATED", changeset_id=1, element_id=1,
+                 element_type="node", tags=dict(ADDR, building="yes"),
+                 lat=LAT, lon=LON, timestamp=1_700_000_100)
+    b = mk_issue(check_id="DUPLICATED", changeset_id=2, element_id=2,
+                 element_type="way", tags=dict(ADDR, name="Dom"),
+                 lat=la2, lon=lo2, timestamp=1_700_000_200)
+    out = duplicates_stage(issues_df(spark, [a, b]), elements_df(spark, [a, b])).collect()
+    got = {(r["uid"], r["changeset_id"], r["timestamp"]) for r in out}
+    assert got == {(-1, 1, 1_700_000_100), (2 + (1 << 27), 2, 1_700_000_200)}
+
+
 def test_duplicates_no_match_drops_issue(spark):
     la3, lo3 = offset(LAT, LON, north_m=115)
     issue = mk_issue(check_id="DUPLICATED", changeset_id=1, element_id=1,
