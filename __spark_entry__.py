@@ -579,8 +579,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 _MINHASHES = 8
+# one md5 per shingle, k universal-hash slots (dedup.minhash_slot_sql) —
+# mirrors minhash_signatures exactly
 _MIN_EXPRS = [
-    "min(" + dd.md5_int_sql("sh || '#%d'" % i) + ")" for i in range(_MINHASHES)
+    f"min({dd.minhash_slot_sql(dd.md5_int32_sql('sh'), i)})" for i in range(_MINHASHES)
 ]
 
 
@@ -635,10 +637,11 @@ def q_dedup_minhash_lsh_pairs(spark, sf_dir):
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    # exact (no stop-shingle cap): the driver corpus is non-Zipfian word
-    # salad where a df cap costs more than it saves; max_df stays
-    # available in the operator for real Zipfian text
-    out = dd.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.2)
+    # exact path (max_df=None): the driver corpus is non-Zipfian word
+    # salad where a df cap costs more than it saves; the OPERATOR now
+    # defaults to DEFAULT_MAX_DF for real Zipfian text (under-estimate
+    # -only property pinned in tests/test_datapipe.py)
+    out = dd.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.2, max_df=None)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -833,6 +836,19 @@ _PAIR_COS_SQL = (
 )
 
 
+# (label, LSH-bucket) blocking for near-dups: 3 planes -> 8 buckets per
+# label; the same deterministic md5 planes on both sides
+_ND_PLANES = sim.deterministic_planes(3, 64)
+_ND_PLANES_SQL = ["[" + ", ".join(f"{v!r}" for v in p) + "]" for p in _ND_PLANES]
+
+
+def _nd_bucket_sql(tbl: str) -> str:
+    return " + ".join(
+        f"CASE WHEN list_dot_product({tbl}.embedding::DOUBLE[], {p}) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(_ND_PLANES_SQL)
+    )
+
+
 @_q(
     "ann_embedding_near_dups",
     f"""
@@ -842,13 +858,15 @@ _PAIR_COS_SQL = (
              row_number() OVER (PARTITION BY a.vec_id
                                 ORDER BY round({_PAIR_COS_SQL}, 4) DESC, b.vec_id) AS rk
       FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id)
+        ON a.label = b.label AND a.vec_id < b.vec_id
+       AND ({_nd_bucket_sql('a')}) = ({_nd_bucket_sql('b')}))
     WHERE rk <= 3
     """,
 )
 def q_ann_embedding_near_dups(spark, sf_dir):
-    # embedding-cosine near-dup: label-blocked all-pairs + top-k per row
-    out = sim.pairwise_topk_per_label(_read(spark, sf_dir, "embeddings"), k=3)
+    # embedding-cosine near-dup, scale path: (label, LSH-bucket) blocked
+    # pairs + top-k per row — no within-label cross join in the plan
+    out = sim.embedding_near_dups(_read(spark, sf_dir, "embeddings"), k=3, num_planes=3)
     return out.select("vec_a", "vec_b", "label", F.round("cosine", 4).alias("cosine"))
 
 

@@ -51,17 +51,44 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", key: str = "doc_id
 
 
 # ----------------------------------------------------------------- shingles
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram shingles of the normalized text — native:
-    split -> sliding windows via transform(sequence)."""
-    words = F.split(normalize_text(text), " ")
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Sliding word n-grams over an ALREADY-MATERIALIZED words column.
+
+    ``words`` must be a real column (attribute), not a composite
+    expression: lambda bodies in higher-order functions are interpreted
+    without common-subexpression elimination, so an inlined
+    split(regexp_replace(...)) would re-run per element_at — O(words²)
+    regex work per doc (measured 16 s for a 260k-shingle explode; <1 s
+    materialized)."""
     m = F.size(words) - (n - 1)
-    return F.when(m <= 0, F.array(normalize_text(text))).otherwise(
+    return F.when(m <= 0, F.array(F.array_join(words, " "))).otherwise(
         F.transform(
             F.sequence(F.lit(0), m - 1),
             lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
         )
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles of the normalized text.
+
+    Convenience form over a raw text column; fine for single-pass use on
+    small inputs. Hot paths should project the words array first and use
+    shingles_from_words (see its docstring for why)."""
+    return shingles_from_words(F.split(normalize_text(text), " "), n)
+
+
+def exploded_shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", key: str = "doc_id", distinct: bool = False
+) -> DataFrame:
+    """(doc_id, sh): one row per (doc, shingle), words materialized once."""
+    words = docs.select(
+        F.col(key).alias("doc_id"), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    )
+    arr = shingles_from_words(F.col("_w"), n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return words.select("doc_id", F.explode(arr).alias("sh"))
 
 
 def shingle_sql(text: str, n: int = 3) -> str:
@@ -76,20 +103,58 @@ def shingle_sql(text: str, n: int = 3) -> str:
 
 
 # ------------------------------------------------------------------ minhash
+# One md5 per shingle, k slots by universal hashing: slot_i(x) =
+# (a_i * h32(x) + b_i) mod (2^31 - 1), with h32 = the first 8 md5 hex
+# digits (32-bit). The modulus must be far below a_i * h32 so the mod
+# WRAPS many times — with a larger modulus the slots stay monotone in
+# h32 and every slot picks the same argmin shingle (correlated
+# signatures, measured as 0 shared slots on true near-dups). a_i < 2^28
+# (odd) and h32 < 2^32 keep products < 2^60: no signed-64 overflow in
+# either engine (Spark 4 ANSI would raise). The (a,b) coefficients are
+# fixed md5-derived constants embedded as literals on both sides.
+# Replaces k independent md5 calls per shingle (k=8 md5s was the
+# measured hot spot of the LSH bench query).
+_MERSENNE31 = (1 << 31) - 1
+
+import hashlib as _hashlib
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    a = (int(_hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:7], 16) | 1)
+    b = int(_hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
+def md5_int32(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def md5_int32_sql(x: str) -> str:
+    return f"('0x' || substr(md5({x}), 1, 8))::bigint"
+
+
+def minhash_slot_expr(h32: Column, i: int) -> Column:
+    a, b = minhash_coeffs(i)
+    return (F.lit(a) * h32 + F.lit(b)) % F.lit(_MERSENNE31)
+
+
+def minhash_slot_sql(h32_sql: str, i: int) -> str:
+    a, b = minhash_coeffs(i)
+    return f"(({a} * {h32_sql} + {b}) % {_MERSENNE31})"
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text", key: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, sig: array<long>[num_hashes]): sig[i] = min over shingles
-    of md5_int(shingle || '#i')."""
-    sh = docs.select(
-        F.col(key).alias("doc_id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
-    )
-    hashed = sh.select(
+    of the i-th universal hash of one md5 per shingle (see above)."""
+    sh = exploded_shingles(docs, n, text_col, key)
+    # h32 as a real column first: fanning md5 into the k slot exprs
+    # directly can re-evaluate it per slot (the cover_expr inlining trap,
+    # BENCH.md optimization log)
+    hashed = sh.select("doc_id", md5_int32(F.col("sh")).alias("h32")).select(
         "doc_id",
-        *[
-            md5_int(F.concat(F.col("sh"), F.lit(f"#{i}"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        *[minhash_slot_expr(F.col("h32"), i).alias(f"h{i}") for i in range(num_hashes)],
     )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
@@ -140,29 +205,37 @@ def lsh_candidate_pairs(
 
 
 # ------------------------------------------------------------ ngram jaccard
+# Default stop-shingle cap: on Zipfian text a shingle appearing in k
+# docs contributes ~k²/2 intermediate pairs; at web scale one stop
+# phrase ("all rights reserved") goes quadratic. 10k bounds any single
+# shingle's pair burst to ~5·10^7 rows spread across tasks while being
+# far above the df of any shingle that still carries similarity signal.
+DEFAULT_MAX_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     key: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
     threshold — inverted-index join, no n² blowup.
 
-    ``max_df`` drops shingles whose document frequency exceeds it from
-    the JOIN side only (sizes keep every shingle): a stop-shingle
-    appearing in thousands of docs contributes a quadratic pair burst
-    while carrying ~no similarity signal. Exact Jaccard is preserved
-    for any pair whose intersection isn't made solely of dropped
-    shingles; pairs whose overlap includes dropped shingles get an
-    UNDER-estimate (conservative: no false positives). None = exact.
+    ``max_df`` (default ``DEFAULT_MAX_DF``) drops shingles whose document
+    frequency exceeds it from the JOIN side only (sizes keep every
+    shingle): a stop-shingle appearing in thousands of docs contributes
+    a quadratic pair burst while carrying ~no similarity signal. Exact
+    Jaccard is preserved for any pair whose intersection isn't made
+    solely of dropped shingles; pairs whose overlap includes dropped
+    shingles get an UNDER-estimate (conservative: no false positives
+    above the threshold, possible false negatives). ``max_df=None`` is
+    the exact path (used by the oracle-parity query, where the corpus
+    is known non-Zipfian).
     """
-    sh = docs.select(
-        F.col(key).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
-    )
+    sh = exploded_shingles(docs, n, text_col, key, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     joinable = sh
     if max_df is not None:

@@ -97,11 +97,57 @@ def lsh_topk(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    k: int = 3,
+    num_planes: int = 3,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup detection, scale path: top-k cosine neighbors
+    within each (label, LSH-bucket) block.
+
+    Label alone is NOT a scale-safe blocking key — with ~10 labels each
+    block is ~10% of the corpus and the within-block all-pairs is
+    O(n²/10). The random-hyperplane bucket subdivides every label into
+    2^num_planes cells whose population shrinks with num_planes, so the
+    per-block pair count is tunable independently of corpus size (at
+    10^12 rows: more planes, same math). Trade-off: a true near-dup pair
+    split by a hyperplane is missed — standard LSH recall, raised by
+    num_planes↓ or multi-probe. Deterministic md5-derived planes keep
+    the DuckDB oracle bit-identical.
+    """
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = deterministic_planes(num_planes, dim)
+    e = embeddings.select(
+        F.col(key).alias("vec_id"),
+        F.col("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        cosine_sim(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc(F.round("cosine", 4)), "vec_b")
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
 def pairwise_topk_per_label(
     embeddings: DataFrame, k: int = 3, vec_col: str = "embedding", key: str = "vec_id"
 ) -> DataFrame:
-    """Embedding near-dup detection: top-k cosine neighbors within each
-    label group (blocked all-pairs — the blocking key bounds the join)."""
+    """Embedding near-dup detection, EXACT small-scale variant: top-k
+    cosine neighbors within each label group. The label block bounds the
+    join but stays O(n²/#labels) — use embedding_near_dups at scale."""
     from pyspark.sql import Window
 
     e = embeddings.select(

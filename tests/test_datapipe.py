@@ -199,3 +199,54 @@ def test_ngram_jaccard_max_df_conservative(spark, docs):
     assert set(capped) <= set(exact)
     for k, v in capped.items():
         assert v <= exact[k] + 1e-9
+
+
+def test_ngram_jaccard_zipfian_stop_shingle_cap(spark):
+    """Zipfian corpus: every doc opens with the same boilerplate phrase
+    (a stop-shingle with df = n_docs). The default df cap must (a) keep
+    the true near-dup pair, whose overlap includes rare shingles, and
+    (b) only ever UNDER-estimate: capped pairs/values are a subset of /
+    <= the exact ones."""
+    boiler = "all rights reserved copyright notice legal"
+    rows = [
+        (i, f"{boiler} unique tail number {i} alpha beta gamma delta {i}")
+        for i in range(1, 11)
+    ]
+    # true near dups: share the unique tail, differ by one word
+    rows.append((20, f"{boiler} shared tail content epsilon zeta eta theta iota"))
+    rows.append((21, f"{boiler} shared tail content epsilon zeta eta theta kappa"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.2, max_df=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.2, max_df=3).collect()
+    }
+    assert (20, 21) in exact and (20, 21) in capped  # rare overlap survives
+    assert set(capped) <= set(exact)                 # no false positives
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9                  # under-estimate only
+
+
+def test_embedding_near_dups_lsh_blocked(spark):
+    """(label, LSH-bucket) blocking: same-direction vectors share every
+    hyperplane sign (one bucket) and pair up; the opposite-direction
+    vector in the SAME label flips every sign into another bucket, so it
+    never pairs — proving the block key is finer than label alone."""
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.2]), (2, 0, [1.0, 0.21]),   # near dups, same bucket
+            (3, 0, [-1.0, -0.2]),                      # same label, opposite bucket
+            (4, 1, [1.0, 0.2]),                        # other label
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in sim.embedding_near_dups(df, k=3).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+    # the physical join keys include the bucket (no within-label cross join)
+    plan = sim.embedding_near_dups(df, k=3)._jdf.queryExecution().optimizedPlan().toString()
+    assert "bucket" in plan
