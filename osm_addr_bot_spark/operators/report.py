@@ -134,7 +134,11 @@ def compose_reports(
             "critical",
             "element_type",
             "element_id",
-            F.element_at(F.col("tags"), F.lit("addr:street")).alias("street"),
+            (
+                F.col("street")
+                if "street" in issues.columns
+                else F.element_at(F.col("tags"), F.lit("addr:street")).alias("street")
+            ),
             "doc_id",
             "span_offset",
             "changesets_count",

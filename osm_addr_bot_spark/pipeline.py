@@ -114,14 +114,16 @@ def run_pipeline(
     run_id = f"run-{end_ts if end_ts is not None else 'full'}"
     stages = StageRunner(spark, checkpoint_dir or "/tmp/osm_ckpt", run_id, enabled=stage_checkpoints)
 
-    # The documents table often arrives as few large files (one, in the
-    # synthetic world); fan the rows out across the cluster BEFORE the
-    # expensive JSON-parse + cell-index stage or it runs on <= #files
-    # tasks. A round-robin shuffle of the raw spans is far cheaper than
-    # serializing the parse. (At 100 TB the table is already thousands
-    # of files and AQE leaves this as a no-op-ish cheap exchange.)
+    # If the documents table arrives as few large files, fan the rows out
+    # across the cluster BEFORE the expensive JSON-parse + cell-index
+    # stage or it runs on <= #splits tasks. A multi-file table (what a
+    # real 100 TB table looks like, and what datagen now writes) already
+    # scans wide — skip the shuffle entirely rather than paying a full
+    # round-robin of the raw span data.
     par = spark.sparkContext.defaultParallelism
-    documents = t["documents"].repartition(par)
+    documents = t["documents"]
+    if documents.rdd.getNumPartitions() < par:
+        documents = documents.repartition(par)
 
     # parse ONCE; the windowed view is a filter over the same plan so the
     # persisted scan serves both the issue path and the J1 candidate pool
@@ -160,6 +162,20 @@ def run_pipeline(
 
     closed, rescheduled = split_open_changesets(merged, t["changesets"])
     guilty = filter_guilty(closed, t["elements_history"], fidelity)
+
+    # Slim the per-changeset phase payload: everything after the guilt
+    # check needs only entry identity + report fields — carrying the
+    # tags map and the 6 bbox doubles through the remaining shuffles
+    # (dedup window, user-gate join+window, report grouping) measurably
+    # inflates allocation rate and GC stop-the-world time, which is an
+    # ADDITIVE serial cost at high parallelism (each STW second pauses
+    # every task thread). street is the one tag the composer needs.
+    guilty = guilty.select(
+        "category", "min_changesets", "check_id", "priority", "critical",
+        "doc_id", "span_offset", "timestamp", "changeset_id",
+        "element_type", "element_id", "uid", "lat", "lon",
+        F.element_at(F.col("tags"), F.lit("addr:street")).alias("street"),
+    )
     deduped = filter_priority(
         guilty, consider_post_fn=False, scope=("category", "changeset_id", "uid")
     )

@@ -9,12 +9,17 @@ from osm_addr_bot_spark.streaming import stream_documents, streaming_check_count
 
 
 def _stream_dir(synth_dir, tmp_path):
-    """FileStreamSource needs a directory; link the doc parquet into one."""
+    """FileStreamSource needs a flat directory of data files; link the doc
+    parquet in (single-file or part-file-directory layout)."""
     import os
+    from pathlib import Path
 
     d = tmp_path / "docs_stream"
     d.mkdir()
-    os.symlink(f"{synth_dir}/documents.parquet", d / "part-0.parquet")
+    src = Path(f"{synth_dir}/documents.parquet")
+    parts = sorted(src.glob("*.parquet")) if src.is_dir() else [src]
+    for i, p in enumerate(parts):
+        os.symlink(p, d / f"part-{i}.parquet")
     return str(d)
 
 
