@@ -59,11 +59,18 @@ def filter_should_not_discuss(
 
 def split_open_changesets(issues: DataFrame, changesets: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(closed_issues, rescheduled_issues) — open changesets are deferred
-    to the next run, not processed (reference main.py:215-217)."""
-    flags = changesets.select("changeset_id", "open")  # data-sized: no hint
+    to the next run, not processed (reference main.py:215-217).
+
+    The closed side keeps the author uid (cs_uid): downstream consumers
+    (user gates, report composer) would otherwise each re-join the
+    data-sized changesets dim — carrying one long column through the
+    already-paid join removes two 1-row-per-changeset shuffles from the
+    tail of the pipeline. The rescheduled side drops it so the backlog
+    schema stays the issue schema."""
+    flags = changesets.select("changeset_id", "open", "cs_uid")  # data-sized: no hint
     joined = issues.join(flags, "changeset_id", "left")
     closed = joined.filter(~F.coalesce(F.col("open"), F.lit(False))).drop("open")
-    rescheduled = joined.filter(F.coalesce(F.col("open"), F.lit(False))).drop("open")
+    rescheduled = joined.filter(F.coalesce(F.col("open"), F.lit(False))).drop("open", "cs_uid")
     return closed, rescheduled
 
 
@@ -75,11 +82,18 @@ def apply_user_gates(issues: DataFrame, changesets: DataFrame, users: DataFrame)
       * > MAX_ISSUES_PER_CHANGESET issues (per category) -> skip whole
         changeset, not truncate (main.py:240-243)
 
-    Input issues must carry `category` and `min_changesets`.
+    Input issues must carry `category` and `min_changesets`; if they
+    already carry `cs_uid` (split_open_changesets passes it through)
+    the data-sized changesets join is skipped.
     """
-    authored = issues.join(
-        changesets.select("changeset_id", "cs_uid"), "changeset_id", "left"  # data-sized
-    ).join(
+    withuid = (
+        issues
+        if "cs_uid" in issues.columns
+        else issues.join(
+            changesets.select("changeset_id", "cs_uid"), "changeset_id", "left"  # data-sized
+        )
+    )
+    authored = withuid.join(
         F.broadcast(users.withColumnRenamed("user_uid", "cs_uid")),  # users dim: tiny
         "cs_uid",
         "left",
@@ -95,5 +109,6 @@ def apply_user_gates(issues: DataFrame, changesets: DataFrame, users: DataFrame)
     return (
         gated.withColumn("_n", F.count("*").over(w))
         .filter(F.col("_n") <= MAX_ISSUES_PER_CHANGESET)
-        .drop("_n", "cs_uid", "display_name", "changesets_count")
+        # cs_uid stays: the report composer consumes it next
+        .drop("_n", "display_name", "changesets_count")
     )

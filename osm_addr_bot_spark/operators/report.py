@@ -121,8 +121,13 @@ def compose_reports(
     """issues (post all gates/dedup) -> one report row per
     (category, changeset). Needs the author's changesets_count; the dims
     are broadcast (J6/J7)."""
+    withuid = (
+        issues
+        if "cs_uid" in issues.columns
+        else issues.join(changesets.select("changeset_id", "cs_uid"), "changeset_id")  # data-sized
+    )
     enriched = (
-        issues.join(changesets.select("changeset_id", "cs_uid"), "changeset_id")  # data-sized
+        withuid
         .join(
             F.broadcast(users.selectExpr("user_uid as cs_uid", "changesets_count")),
             "cs_uid",

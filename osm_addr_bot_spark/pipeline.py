@@ -172,7 +172,7 @@ def run_pipeline(
     # every task thread). street is the one tag the composer needs.
     guilty = guilty.select(
         "category", "min_changesets", "check_id", "priority", "critical",
-        "doc_id", "span_offset", "timestamp", "changeset_id",
+        "doc_id", "span_offset", "timestamp", "changeset_id", "cs_uid",
         "element_type", "element_id", "uid", "lat", "lon",
         F.element_at(F.col("tags"), F.lit("addr:street")).alias("street"),
     )

@@ -372,3 +372,17 @@ def test_street_cascade_equals_single_join(spark):
     casc = street_names_stage(issues, streets, cascade=True)
     key = lambda r: (r["check_id"], r["changeset_id"], r["uid"])
     assert sorted(map(key, single.collect())) == sorted(map(key, casc.collect()))
+
+
+def test_spatial_plans_have_no_python(spark):
+    """Scale guard: the spatial joins must stay whole-stage-codegen
+    JVM-native — no row-at-a-time or Arrow Python eval in the plan
+    (BENCH.md 'hot paths are native')."""
+    issue = mk_issue(check_id="DUPLICATED", changeset_id=1, element_id=1,
+                     tags=dict(ADDR), lat=LAT, lon=LON)
+    cand = mk_issue(changeset_id=2, element_id=2, element_type="way",
+                    tags=dict(ADDR), lat=LAT, lon=LON)
+    plan = duplicates_stage(
+        issues_df(spark, [issue]), elements_df(spark, [issue, cand])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
