@@ -14,9 +14,11 @@ timings cover the driver-table operator suite.
 
 ``--scaling`` reruns the pipeline at local[N] and local[4N] in separate
 JVMs (subprocesses) on identical input and reports throughput at both
-plus efficiency = (thr_4N/thr_N)/4 — the north rule's two-cluster-size
-criterion evidenced in a single-box sandbox (see BENCH.md for the pair
-choice and knob rationale).
+plus efficiency = (thr_4N/thr_N)/4. The CANONICAL north-rule evidence
+is `scripts/scaling_cluster.sh` (N vs 4N real executors on a standalone
+cluster, spark-submit --py-files; 0.804 measured at 4M docs —
+scaling_cluster.json / BENCH.md); thread mode shares one JVM heap and
+the box's DRAM across all threads and under-reports cluster scaling.
 """
 
 from __future__ import annotations

@@ -16,6 +16,10 @@ everywhere here.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -47,12 +51,115 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFra
 
 
 def snapshot_as_of(spark: SparkSession, location: str, timestamp_ms: int) -> DataFrame:
-    """Iceberg time travel (S2); raises without the runtime."""
-    if not iceberg_available(spark):
-        raise RuntimeError(
-            "time travel needs the Iceberg runtime; use the elements_history "
-            "interval table (operators/guilt.py) in this environment"
+    """Historical snapshot scan (S2, reference overpass.py:92-98 — the
+    `[date:...]` Overpass setting selecting a past database state).
+
+    Iceberg time travel when the runtime is present; otherwise a
+    manifest-pinned snapshot table (`write_snapshot` layout below),
+    which carries the same semantics — each snapshot is an immutable
+    list of data files, as-of selects the latest snapshot at or before
+    the timestamp and reads exactly its files.
+    """
+    if iceberg_available(spark):
+        return (
+            spark.read.format("iceberg")
+            .option("as-of-timestamp", str(timestamp_ms))
+            .load(location)
         )
-    return (
-        spark.read.format("iceberg").option("as-of-timestamp", str(timestamp_ms)).load(location)
+    return _manifest_snapshot_as_of(spark, location, timestamp_ms)
+
+
+# --- manifest-pinned snapshot tables (filesystem stand-in for Iceberg) ---
+#
+# Layout:
+#   <location>/_snapshots.json   ordered [{snapshot_id, timestamp_ms, files}]
+#   <location>/data/s<WWID>-part-*.parquet
+#
+# Semantics mirror Iceberg's copy-on-write table: every snapshot pins the
+# FULL list of live data files; commit is an atomic tmp-file + rename (the
+# same commit point the checkpoint state machine uses, state/checkpoint.py);
+# readers never list the directory, they read the manifest. At 100 TB the
+# manifest becomes Iceberg's avro manifest tree — the driver-side cost here
+# is one small JSON read, the data-file list goes straight into the parquet
+# scan (partition pruning and split planning unchanged).
+
+_MANIFEST = "_snapshots.json"
+
+
+def _read_manifest(location: str) -> list[dict]:
+    path = os.path.join(location, _MANIFEST)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"not a snapshot table (no {_MANIFEST}): {location}")
+    with open(path) as f:
+        return json.load(f)
+
+
+def snapshots(location: str) -> list[dict]:
+    """Snapshot log, oldest first (Iceberg `table.snapshots()`)."""
+    return _read_manifest(location)
+
+
+def write_snapshot(
+    df: DataFrame,
+    location: str,
+    timestamp_ms: int,
+    *,
+    mode: str = "overwrite",
+) -> dict:
+    """Commit `df` as a new snapshot of the table at `location`.
+
+    mode='overwrite': the new snapshot's file list is just this write
+    (full-table rewrite); mode='append': previous snapshot's files plus
+    this write. Data files are immutable once committed — a new snapshot
+    never touches old files, so concurrent readers of an older snapshot
+    are unaffected (Iceberg's reader isolation).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    os.makedirs(os.path.join(location, "data"), exist_ok=True)
+    try:
+        log = _read_manifest(location)
+    except FileNotFoundError:
+        log = []
+    if log and log[-1]["timestamp_ms"] >= timestamp_ms:
+        raise ValueError(
+            f"snapshot timestamps must increase: have {log[-1]['timestamp_ms']}, "
+            f"got {timestamp_ms}"
+        )
+    snap_id = (log[-1]["snapshot_id"] + 1) if log else 1
+    staging = os.path.join(location, "data", f"s{snap_id:06d}")
+    df.write.mode("errorifexists").parquet(staging)
+    files = sorted(
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
     )
+    prev_files = log[-1]["files"] if (mode == "append" and log) else []
+    entry = {
+        "snapshot_id": snap_id,
+        "timestamp_ms": int(timestamp_ms),
+        "files": prev_files + files,
+    }
+    log.append(entry)
+    # atomic commit: manifest rename is the commit point
+    fd, tmp = tempfile.mkstemp(dir=location, prefix="._snapshots-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(log, f)
+    os.replace(tmp, os.path.join(location, _MANIFEST))
+    return entry
+
+
+def _manifest_snapshot_as_of(
+    spark: SparkSession, location: str, timestamp_ms: int
+) -> DataFrame:
+    log = _read_manifest(location)
+    live = [s for s in log if s["timestamp_ms"] <= timestamp_ms]
+    if not live:
+        raise ValueError(
+            f"no snapshot at or before {timestamp_ms} "
+            f"(earliest is {log[0]['timestamp_ms'] if log else 'none'})"
+        )
+    snap = live[-1]
+    if not snap["files"]:  # a committed empty table
+        raise ValueError(f"snapshot {snap['snapshot_id']} has no data files")
+    return spark.read.parquet(*snap["files"])
