@@ -33,7 +33,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 16, not 32: on the 32-core box each task thread pairs with a
+# pandas-UDF worker process, so local[32] runs ~64 busy processes and is
+# measurably SLOWER than local[16] (32.5 vs 22.9 s at sf0.1; 470.8 vs
+# 444.0 s at 4M docs — BENCH.md). Override via SPARK_GRAFT_CPUS.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
 # documents in the synthetic world per sf unit (sf0.1 -> 12k docs)
 DOCS_PER_SF = 120_000
