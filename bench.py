@@ -182,13 +182,35 @@ def run_scaling(n_docs: int | None = None, cpus_pair: tuple[int, int] | None = N
     }
 
 
+def run_scaling_cluster(n_docs: int | None = None) -> dict:
+    """Canonical north-rule evidence: N vs 4N real executors on a
+    standalone cluster (scripts/scaling_cluster.sh). ~45 min at the
+    default 4M-doc world."""
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "4000000"))
+    from osm_addr_bot_spark.datagen import ensure_dataset
+
+    world = str(ensure_dataset("/tmp/osm_addr_bot_synth/bench_scaling", n_docs=n_docs, seed=42))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = "/tmp/scaling_cluster_bench.json"
+    env = dict(os.environ, SHUFFLE_PARTS=os.environ.get("SHUFFLE_PARTS", "16"))
+    subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "scaling_cluster.sh"), world, out],
+        env=env, check=True, capture_output=True, text=True, timeout=7200,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cluster", action="store_true")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
-    if args.scaling:
+    if args.scaling_cluster:
+        print(json.dumps(run_scaling_cluster()))
+    elif args.scaling:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench(pipeline_only=args.pipeline_only)))

@@ -32,6 +32,10 @@ MASTER_URL="spark://127.0.0.1:7077"
 LOCAL_DIR=/dev/shm/spark-local
 EXEC_CORES=2
 SHUFFLE_PARTS="${SHUFFLE_PARTS:-8}"   # identical at BOTH levels; scale with world size
+AQE="${AQE:-true}"                    # identical at BOTH levels; AQE re-planning is
+                                      # driver-side serial work (~2.5% of wall at 4M,
+                                      # measured) — off buys scaling margin, on buys
+                                      # skew-join safety at real scale
 mkdir -p "$LOCAL_DIR"
 
 ZIP="$(mktemp -d)/osm_addr_bot_spark.zip"
@@ -72,7 +76,7 @@ run_at() {
     --conf spark.cores.max=$((EXEC_CORES * n_workers)) \
     --conf spark.locality.wait=0s \
     --conf spark.sql.shuffle.partitions="$SHUFFLE_PARTS" \
-    --conf spark.sql.adaptive.enabled=true \
+    --conf spark.sql.adaptive.enabled="$AQE" \
     --conf spark.sql.adaptive.coalescePartitions.enabled=false \
     --conf spark.sql.session.timeZone=UTC \
     --conf spark.local.dir="$LOCAL_DIR" \
