@@ -866,7 +866,7 @@ def _nd_bucket_sql(tbl: str) -> str:
 def q_ann_embedding_near_dups(spark, sf_dir):
     # embedding-cosine near-dup, scale path: (label, LSH-bucket) blocked
     # pairs + top-k per row — no within-label cross join in the plan
-    out = sim.embedding_near_dups(_read(spark, sf_dir, "embeddings"), k=3, num_planes=3)
+    out = sim.embedding_near_dups(_read(spark, sf_dir, "embeddings"), k=3, num_planes=3, dim=64)
     return out.select("vec_a", "vec_b", "label", F.round("cosine", 4).alias("cosine"))
 
 

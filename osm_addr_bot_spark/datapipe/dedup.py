@@ -302,6 +302,11 @@ def simhash_near_pairs(
     """
     if bands is None:
         bands = max_hamming + 1
+    if not 1 <= bands <= bits:
+        raise ValueError(
+            f"need 1 <= bands <= bits for the banded join; got bands={bands} "
+            f"(= max_hamming+1 when derived), bits={bits}"
+        )
     if bits % bands != 0:
         # equal-width bands need bands | bits; round up to the next divisor
         bands = next(b for b in range(bands, bits + 1) if bits % b == 0)

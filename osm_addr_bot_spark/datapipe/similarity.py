@@ -103,6 +103,7 @@ def embedding_near_dups(
     num_planes: int = 3,
     vec_col: str = "embedding",
     key: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup detection, scale path: top-k cosine neighbors
     within each (label, LSH-bucket) block.
@@ -119,7 +120,17 @@ def embedding_near_dups(
     """
     from pyspark.sql import Window
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        # plan-construction-time job: acceptable interactively, but pass
+        # dim explicitly in pipelines — and empty input has no dim at all
+        row = embeddings.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if row is None:
+            kt = embeddings.schema[key].dataType.simpleString()
+            lt = embeddings.schema["label"].dataType.simpleString()
+            return embeddings.sparkSession.createDataFrame(
+                [], f"vec_a {kt}, vec_b {kt}, label {lt}, cosine double"
+            )
+        dim = len(row[0])
     planes = deterministic_planes(num_planes, dim)
     e = embeddings.select(
         F.col(key).alias("vec_id"),

@@ -74,7 +74,9 @@ def split_open_changesets(issues: DataFrame, changesets: DataFrame) -> tuple[Dat
     return closed, rescheduled
 
 
-def apply_user_gates(issues: DataFrame, changesets: DataFrame, users: DataFrame) -> DataFrame:
+def apply_user_gates(
+    issues: DataFrame, changesets: DataFrame, users: DataFrame, slim: bool = False
+) -> DataFrame:
     """Per-changeset user gates (reference main.py:227-243):
 
       * author missing from users dim (deleted) -> skip changeset
@@ -82,17 +84,21 @@ def apply_user_gates(issues: DataFrame, changesets: DataFrame, users: DataFrame)
       * > MAX_ISSUES_PER_CHANGESET issues (per category) -> skip whole
         changeset, not truncate (main.py:240-243)
 
-    Input issues must carry `category` and `min_changesets`; if they
-    already carry `cs_uid` (split_open_changesets passes it through)
-    the data-sized changesets join is skipped.
+    Input issues must carry `category` and `min_changesets`.
+    ``slim=True`` is the pipeline's slim-payload contract: issues
+    already carry an authoritative ``cs_uid`` (from the open-changeset
+    split's changesets join), so the data-sized join is skipped.
+    Explicit, not sniffed — a stray same-named column in a
+    non-pipeline caller must not silently change attribution.
     """
-    withuid = (
-        issues
-        if "cs_uid" in issues.columns
-        else issues.join(
+    if slim:
+        if "cs_uid" not in issues.columns:
+            raise ValueError("slim=True requires a cs_uid column on issues")
+        withuid = issues
+    else:
+        withuid = issues.drop("cs_uid").join(
             changesets.select("changeset_id", "cs_uid"), "changeset_id", "left"  # data-sized
         )
-    )
     authored = withuid.join(
         F.broadcast(users.withColumnRenamed("user_uid", "cs_uid")),  # users dim: tiny
         "cs_uid",

@@ -116,16 +116,32 @@ REPORT_SCHEMA = (
 
 
 def compose_reports(
-    issues: DataFrame, users: DataFrame, changesets: DataFrame, fidelity: bool = False
+    issues: DataFrame,
+    users: DataFrame,
+    changesets: DataFrame,
+    fidelity: bool = False,
+    slim: bool = False,
 ) -> DataFrame:
     """issues (post all gates/dedup) -> one report row per
     (category, changeset). Needs the author's changesets_count; the dims
-    are broadcast (J6/J7)."""
-    withuid = (
-        issues
-        if "cs_uid" in issues.columns
-        else issues.join(changesets.select("changeset_id", "cs_uid"), "changeset_id")  # data-sized
-    )
+    are broadcast (J6/J7).
+
+    ``slim=True`` is the pipeline's slim-payload contract: the issues
+    frame already carries ``cs_uid`` (authoritative, from the
+    open-changeset split's changesets join) and ``street`` (extracted
+    from the tags map before it was dropped), so the data-sized
+    changesets join and the tags map are not needed here. Explicit, not
+    sniffed from column presence — a stray same-named column in a
+    non-pipeline caller must not silently change attribution."""
+    if slim:
+        missing = {"cs_uid", "street"} - set(issues.columns)
+        if missing:
+            raise ValueError(f"slim=True requires columns {sorted(missing)} on issues")
+        withuid = issues
+    else:
+        withuid = issues.drop("cs_uid", "street").join(
+            changesets.select("changeset_id", "cs_uid"), "changeset_id"  # data-sized
+        )
     enriched = (
         withuid
         .join(
@@ -141,7 +157,7 @@ def compose_reports(
             "element_id",
             (
                 F.col("street")
-                if "street" in issues.columns
+                if slim
                 else F.element_at(F.col("tags"), F.lit("addr:street")).alias("street")
             ),
             "doc_id",

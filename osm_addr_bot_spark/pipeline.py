@@ -180,12 +180,12 @@ def run_pipeline(
         guilty, consider_post_fn=False, scope=("category", "changeset_id", "uid")
     )
     final_issues = stages.run(
-        "final_issues", lambda: apply_user_gates(deduped, t["changesets"], t["users"])
+        "final_issues", lambda: apply_user_gates(deduped, t["changesets"], t["users"], slim=True)
     )
     if persist and not stage_checkpoints:
         final_issues = final_issues.persist(PERSIST_LEVEL)  # feeds reports + tiles + counts
 
-    reports = compose_reports(final_issues, t["users"], t["changesets"], fidelity)
+    reports = compose_reports(final_issues, t["users"], t["changesets"], fidelity, slim=True)
 
     media = parse_media(documents)
     kw = {"zoom": zoom} if zoom is not None else {}

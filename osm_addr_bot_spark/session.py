@@ -58,6 +58,25 @@ def get_spark(
     }
     if extra_conf:
         conf.update(extra_conf)
+
+    if os.environ.get("SPARK_SUBMIT_MODE"):
+        # Under spark-submit the launcher's --conf / spark-defaults are
+        # authoritative — builder.config would silently override them
+        # (measured: a --conf spark.sql.shuffle.partitions=7 submit ran
+        # with this dict's value instead). The dict above is a set of
+        # session DEFAULTS: create the session bare, then apply only the
+        # runtime-settable keys the launcher did not set (sc.getConf()
+        # holds every explicitly-set entry — launcher's, since the
+        # builder set none). Static keys (spark.local.dir, driver
+        # memory, UI) are the launcher's domain under spark-submit.
+        spark = builder.getOrCreate()
+        launcher_set = spark.sparkContext.getConf()
+        for k, v in conf.items():
+            if k.startswith("spark.sql.") and not launcher_set.contains(k):
+                spark.conf.set(k, v)
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
+
     for k, v in conf.items():
         builder = builder.config(k, v)
 

@@ -127,7 +127,12 @@ def write_snapshot(
             f"got {timestamp_ms}"
         )
     snap_id = (log[-1]["snapshot_id"] + 1) if log else 1
-    staging = os.path.join(location, "data", f"s{snap_id:06d}")
+    # unique per-attempt staging dir (Iceberg stages under a UUID for the
+    # same reason): a crash between data write and manifest rename must
+    # leave only unreferenced garbage, never a name collision that blocks
+    # the retry — uncommitted dirs are simply never listed in a manifest
+    staging = tempfile.mkdtemp(dir=os.path.join(location, "data"), prefix=f"s{snap_id:06d}-")
+    os.rmdir(staging)  # parquet writer wants to create it
     df.write.mode("errorifexists").parquet(staging)
     files = sorted(
         os.path.join(staging, f)
