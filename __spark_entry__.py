@@ -645,18 +645,32 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-_SIMHASH_BITS = 32
+# 64-bit fingerprints (band entropy at scale; see dedup.py). Token bits
+# 0-59 come from md5 hex 1-15, 60-63 from hex 16-30; fingerprint bit 63
+# is the bigint sign bit, added as -2^63 — exact in both engines'
+# two's-complement bigints (probe-verified, incl. >>/&/xor/bit_count on
+# negatives).
+_SIMHASH_BITS = 64
+_MIN_LONG_SQL = "(-9223372036854775807 - 1)"
 
 
 def _simhash_sql() -> str:
-    h = dd.md5_int_sql("t")
+    h1 = dd.md5_int_sql("t")
+    h2 = "('0x' || substr(md5(t), 16, 15))::bigint"
     votes = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_SIMHASH_BITS)
+        f"sum(CASE WHEN ({'h1' if b < 60 else 'h2'} >> {b if b < 60 else b - 60}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS)
     )
-    fp = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b}::bigint ELSE 0 END" for b in range(_SIMHASH_BITS))
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN "
+        + (f"{_MIN_LONG_SQL}::bigint" if b == 63 else f"{1 << b}::bigint")
+        + " ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t FROM documents),
-         hh AS (SELECT doc_id, {h} AS h FROM tok),
+         hh AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM tok),
          votes AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id)
     SELECT doc_id, ({fp}) AS simhash FROM votes
     """
@@ -673,7 +687,7 @@ def q_dedup_simhash(spark, sf_dir):
     WITH fp AS ({_simhash_sql()}),
          banded AS (
            SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS v
-           FROM fp CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b)
+           FROM fp CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS band) b)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM banded a JOIN banded b
@@ -682,8 +696,13 @@ def q_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_dedup_simhash_near_pairs(spark, sf_dir):
+    # bands=8 at 64 bits = 8-bit band values; max_hamming=10 > bands-1,
+    # so this is the documented approximate path — but pigeonhole still
+    # guarantees every pair up to 7 diffs, and measured recall at these
+    # knobs is >= 0.9 (tests/test_recall.py; bands=4 measured 0.59 and
+    # was rejected). Candidates verified by exact Hamming on both sides.
     fps = dd.simhash(_read(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
-    out = dd.simhash_near_pairs(fps, max_hamming=10, bits=_SIMHASH_BITS, bands=4)
+    out = dd.simhash_near_pairs(fps, max_hamming=10, bits=_SIMHASH_BITS, bands=8)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -868,6 +887,80 @@ def q_ann_embedding_near_dups(spark, sf_dir):
     # pairs + top-k per row — no within-label cross join in the plan
     out = sim.embedding_near_dups(_read(spark, sf_dir, "embeddings"), k=3, num_planes=3, dim=64)
     return out.select("vec_a", "vec_b", "label", F.round("cosine", 4).alias("cosine"))
+
+
+# ----------------------------------------------------- as-of / time travel
+# J5/S2 class (reference overpass.py:384-421, 92-98) over driver tables:
+# orders become an SCD2 history per customer (valid_from = order epoch,
+# valid_to = next order's epoch via lead(), last version open-ended);
+# events probe it as-of a timestamp folded into the history's range.
+# Probe keys user_id*11 stretch past the custkey domain (missing key ->
+# null payload, the reference's created-element case Q6) and early probe
+# times predate a customer's first order (as-of miss -> null). The Spark
+# side runs the UNION (sort-based, version-count-independent) strategy of
+# operators/asof.py so the scale path itself sits under the DuckDB hash
+# check; interval-vs-union equivalence is pinned in tests/test_asof.py.
+_ASOF_T0 = 788918400  # 1995-01-01 UTC
+_ASOF_SPAN = 207705600  # just under the orders table's date span
+
+
+@_q(
+    "snapshot_asof_join",
+    f"""
+    WITH h AS (SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+                      floor(epoch(o_orderdate))::bigint AS valid_from,
+                      coalesce(lead(floor(epoch(o_orderdate))::bigint)
+                                 OVER (PARTITION BY o_custkey
+                                       ORDER BY floor(epoch(o_orderdate))::bigint, o_orderkey),
+                               9223372036854775807) AS valid_to
+               FROM orders),
+         p AS (SELECT event_id, (user_id * 11)::bigint AS custkey,
+                      (floor(epoch(ts))::bigint % {_ASOF_SPAN}) + {_ASOF_T0} AS ets
+               FROM events)
+    SELECT p.event_id, p.custkey, p.ets,
+           (h.o_orderkey IS NOT NULL) AS asof_hit,
+           coalesce(h.o_orderkey, -1) AS asof_orderkey,
+           coalesce(h.price, -1.0) AS asof_price
+    FROM p LEFT JOIN h
+      ON p.custkey = h.o_custkey AND h.valid_from <= p.ets AND p.ets < h.valid_to
+    """,
+)
+def q_snapshot_asof_join(spark, sf_dir):
+    from osm_addr_bot_spark.operators.asof import asof_join
+
+    o = _read(spark, sf_dir, "orders")
+    hist = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round("o_totalprice", 2).alias("asof_price"),
+        F.expr("cast(cast(o_orderdate as timestamp) as bigint)").alias("valid_from"),
+    ).withColumn(
+        "valid_to",
+        F.coalesce(
+            F.lead("valid_from").over(
+                Window.partitionBy("custkey").orderBy("valid_from", "asof_orderkey")
+            ),
+            F.lit((1 << 63) - 1),
+        ),
+    )
+    probe = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") * 11).cast("long").alias("custkey"),
+        (
+            F.expr("cast(cast(ts as timestamp) as bigint)") % _ASOF_SPAN + _ASOF_T0
+        ).alias("ets"),
+    )
+    out = asof_join(probe, hist, keys=["custkey"], probe_ts="ets", strategy="union")
+    # null-free projection (the driver's row sort chokes on None): the
+    # LEFT-miss cases stay visible through asof_hit + sentinels
+    return out.select(
+        "event_id",
+        "custkey",
+        "ets",
+        F.col("asof_orderkey").isNotNull().alias("asof_hit"),
+        F.coalesce("asof_orderkey", F.lit(-1)).alias("asof_orderkey"),
+        F.coalesce("asof_price", F.lit(-1.0)).alias("asof_price"),
+    )
 
 
 # ------------------------------------------------- streaming-shaped / window

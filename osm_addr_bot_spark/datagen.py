@@ -186,6 +186,13 @@ CHUNK_DOCS = 50_000
 EIDS_PER_DOC = 14
 DELETED_UID = 9999
 
+# Bump whenever the generated BYTES change for the same (n_docs, seed)
+# — ensure_dataset keys its reuse marker on this, so a generator change
+# forces regeneration instead of silently reusing a world produced by
+# different code (v2 = the round-2 chunk-parallel generator; the worlds
+# on disk under the legacy unversioned markers were written by it).
+GENERATOR_VERSION = 2
+
 
 def _gen_chunk_rows(seed, chunk_idx, lo, hi, town_names, tlat, tlon, town_streets,
                     user_uids, n_towns, hotspot_frac):
@@ -462,6 +469,17 @@ def generate(
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    # uid headroom (ADVICE r2): way uids are element_id + UID_OFFSET
+    # (config.py/parse.py), so reserved per-doc id ranges must stay below
+    # the offset or way uids collide with relation uids
+    from osm_addr_bot_spark.config import UID_OFFSET
+
+    if EIDS_PER_DOC * n_docs >= UID_OFFSET:
+        raise ValueError(
+            f"n_docs={n_docs} would overflow the element-id space: "
+            f"{EIDS_PER_DOC} ids/doc * n_docs must stay < UID_OFFSET={UID_OFFSET} "
+            f"(max ~{UID_OFFSET // EIDS_PER_DOC} docs) or way/relation uids collide"
+        )
     rng = np.random.default_rng(seed)
     # world area scales with document count (constant density ~3k docs
     # per town); the hotspot town keeps a strong skew but is capped so
@@ -513,14 +531,35 @@ def generate(
         n_workers = min(workers or os.cpu_count() or 8, len(chunks))
         with ProcessPoolExecutor(max_workers=n_workers) as ex:
             list(ex.map(_gen_and_write_chunk, chunks, chunksize=1))
+
+    # table-stats sidecar: the source clock (S4, the reference's
+    # timestamp_osm_base) as COMMIT METADATA, so the pipeline's
+    # watermark probe never scans data to learn one number — the
+    # generator's draw window bounds every element timestamp, the same
+    # way an ingestion commit time bounds its events (Iceberg snapshot
+    # timestamp analog; sources.table_stats reads it)
+    import json as _json
+
+    stats = {
+        "generator_version": GENERATOR_VERSION,
+        "n_docs": n_docs,
+        "seed": seed,
+        "max_timestamp": T0 + WINDOW_S - 1,
+    }
+    (out / "_table_stats.json").write_text(_json.dumps(stats))
     return paths
 
 
 def ensure_dataset(out_dir: str | os.PathLike, n_docs: int = 500, seed: int = 42) -> Path:
     """Generate once, reuse across test/bench runs (marker file keyed on
-    params). A params change regenerates and drops stale markers."""
+    generator version + params). A params OR generator change regenerates
+    and drops stale markers (ADVICE r2: an unversioned marker silently
+    reused worlds written by older generator code)."""
     out = Path(out_dir)
-    marker = out / f".done-{n_docs}-{seed}"
+    marker = out / f".done-v{GENERATOR_VERSION}-{n_docs}-{seed}"
+    legacy = out / f".done-{n_docs}-{seed}"  # written by the v2 generator pre-versioning
+    if not marker.exists() and legacy.exists() and GENERATOR_VERSION == 2:
+        legacy.rename(marker)
     if not marker.exists():
         generate(out, n_docs=n_docs, seed=seed)
         for old in out.glob(".done-*"):

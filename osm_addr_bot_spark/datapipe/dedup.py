@@ -263,32 +263,58 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------------------ simhash
-def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+# Default fingerprint width is 64 bits (was 32). At web scale the banded
+# candidate join keys on (band, band_value); with the derived
+# bands = max_hamming + 1 (rounded up to a divisor of bits), 32-bit
+# fingerprints leave 4-bit bands — 16 distinct values, so each bucket
+# holds O(n/16) docs and the join degenerates toward all-pairs. At 64
+# bits the same derivation gives 8-16-bit bands (256-65536 values):
+# bucket population drops by the extra entropy, and uncorrelated docs
+# land in the same bucket with probability 2^-width per band instead of
+# 2^-4. Token bits come from two non-overlapping md5 words (hex chars
+# 1-15 and 16-30, 60 bits each), so widths up to 120 bits need exactly
+# the same two conv() calls both engines already do.
+def _token_bit(b: int) -> Column:
+    src, off = ("h1", b) if b < 60 else ("h2", b - 60)
+    return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+
+def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): per-token md5-derived bit votes, sign-summed.
 
     bit b of the fingerprint = 1 iff sum over tokens of
-    (+1 if bit b of md5_int(token) else -1) > 0.
+    (+1 if bit b of the token's md5 else -1) > 0. Bits 0-59 read the
+    first md5 word (hex 1-15), bits 60+ the second (hex 16-30), so the
+    32-bit fingerprints of earlier rounds are a strict truncation of
+    the 64-bit ones. bits=64 stores bit 63 as the sign bit (adding
+    -2^63), which both engines' two's-complement bigints represent
+    exactly.
     """
+    if not 1 <= bits <= 120:
+        raise ValueError(f"bits must be in [1, 120] (two 60-bit md5 words); got {bits}")
     tok = docs.select(
         F.col(key).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
-    ).withColumn("h", md5_int(F.col("t")))
+    ).withColumn("h1", md5_int(F.col("t")))
+    if bits > 60:
+        tok = tok.withColumn(
+            "h2", F.conv(F.substring(F.md5(F.col("t")), 16, 15), 16, 10).cast("long")
+        )
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.when(_token_bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
             for b in range(bits)
         ]
     )
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(weight).cast("long")).otherwise(0)
     return votes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
-    fps: DataFrame, max_hamming: int = 6, bits: int = 32, bands: int | None = None
+    fps: DataFrame, max_hamming: int = 6, bits: int = 64, bands: int | None = None
 ) -> DataFrame:
     """Banded Hamming join, verified with bit_count.
 
@@ -299,6 +325,11 @@ def simhash_near_pairs(
     bands explicitly is an APPROXIMATION: pairs whose differing bits
     touch every band are missed (recall < 1, precision unaffected —
     candidates are still verified by exact Hamming distance).
+
+    Band extraction is (simhash >> b*width) & mask — for equal-width
+    bands the mask width never exceeds 64 - shift, so arithmetic
+    sign-fill bits are always masked off and Spark/DuckDB agree bit for
+    bit even on negative (bit-63-set) fingerprints (probe-verified).
     """
     if bands is None:
         bands = max_hamming + 1
@@ -311,17 +342,20 @@ def simhash_near_pairs(
         # equal-width bands need bands | bits; round up to the next divisor
         bands = next(b for b in range(bands, bits + 1) if bits % b == 0)
     width = bits // bands
-    mask = (1 << width) - 1
+
+    def band_value(b: int) -> Column:
+        if width >= 64:  # bands=1: the band IS the fingerprint
+            return F.col("simhash")
+        mask = (1 << width) - 1
+        return F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+
     banded = fps.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("v"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_value(b).alias("v"))
                     for b in range(bands)
                 ]
             )

@@ -104,11 +104,19 @@ def run_pipeline(
     ckpt = Checkpoint(checkpoint_dir) if checkpoint_dir else None
 
     if ckpt and (start_ts is None or end_ts is None):
-        # source clock (S4): the table's own high watermark
-        src_max = t["documents"].select(
-            F.max(F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> get_json_object(s.text, '$.timestamp'))")[0])
-        ).first()[0]
-        src_max = int(src_max) if src_max is not None else 0
+        # source clock (S4, reference timestamp_osm_base): METADATA ONLY
+        # when the table carries commit metadata (snapshot manifest or
+        # stats sidecar) — at 100 TB a full scan to learn one number is
+        # the first thing a cluster bill notices. The scan below is the
+        # legacy fallback for bare tables only.
+        from osm_addr_bot_spark.sources import source_clock
+
+        src_max = source_clock(data_dir)
+        if src_max is None:
+            src_max = t["documents"].select(
+                F.max(F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> get_json_object(s.text, '$.timestamp'))")[0])
+            ).first()[0]
+            src_max = int(src_max) if src_max is not None else 0
         start_ts, end_ts = ckpt.compute_window(now=src_max, source_max_ts=src_max + 1)
 
     run_id = f"run-{end_ts if end_ts is not None else 'full'}"
@@ -148,9 +156,14 @@ def run_pipeline(
         ),
     )
 
-    if persist and not stage_checkpoints:
-        # the spatial-stage output is consumed by the guilt check twice
-        # (verdict aggregate + semi join back) and everything downstream
+    if persist and not stage_checkpoints and ckpt is not None:
+        # With a checkpoint, the spatial-stage output is read twice (the
+        # closed-changeset chain AND the rescheduled backlog written at
+        # commit). WITHOUT one, the single-pass guilt window is its only
+        # materialized consumer — persisting 4.7M tag-mapped rows to
+        # write them once and read them once measurably pays the storage
+        # round-trip for nothing (r3 serial-floor audit; the old comment
+        # here described the two-pass guilt form, long gone).
         issues3 = issues3.persist(PERSIST_LEVEL)
 
     # J8/T3: merge prior-run backlog before the per-changeset phase

@@ -56,9 +56,6 @@ def get_spark(
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
     }
-    if extra_conf:
-        conf.update(extra_conf)
-
     if os.environ.get("SPARK_SUBMIT_MODE"):
         # Under spark-submit the launcher's --conf / spark-defaults are
         # authoritative — builder.config would silently override them
@@ -74,9 +71,26 @@ def get_spark(
         for k, v in conf.items():
             if k.startswith("spark.sql.") and not launcher_set.contains(k):
                 spark.conf.set(k, v)
+        # extra_conf is an EXPLICIT caller request, not a default: apply
+        # every runtime-settable key (ADVICE r2: the spark.sql. filter
+        # silently dropped e.g. spark.serializer requests); static confs
+        # can't change post-launch — warn instead of silently ignoring
+        for k, v in (extra_conf or {}).items():
+            try:
+                spark.conf.set(k, v)
+            except Exception as e:  # noqa: BLE001 — CANNOT_MODIFY_CONFIG
+                import warnings
+
+                warnings.warn(
+                    f"extra_conf[{k!r}] is a static conf and cannot be set "
+                    f"after launch under spark-submit; pass it as --conf ({e})",
+                    stacklevel=2,
+                )
         spark.sparkContext.setLogLevel("WARN")
         return spark
 
+    if extra_conf:
+        conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
 

@@ -16,11 +16,47 @@ everywhere here.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def table_stats(location: str) -> dict | None:
+    """Commit metadata of a plain-parquet table directory
+    (``_table_stats.json``, written by datagen at generation time) —
+    the stand-in for Iceberg snapshot summary properties. Returns None
+    when the table carries no sidecar (caller falls back to scanning).
+
+    The point (VERDICT r2 item 4): the source high-watermark (S4, the
+    reference's timestamp_osm_base clock, overpass.py:161-169) is ONE
+    NUMBER — at 100 TB it must come from table metadata, never from a
+    full scan of the data files.
+    """
+    path = os.path.join(location, "_table_stats.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def source_clock(data_dir: str) -> int | None:
+    """High watermark of the documents table from metadata only:
+    the snapshot manifest's latest commit when the table is a snapshot
+    table, else the stats sidecar. None -> caller must scan."""
+    doc_dir = os.path.join(data_dir, "documents.parquet")
+    try:
+        log = _read_manifest(doc_dir)
+        if log:
+            return int(log[-1]["timestamp_ms"]) // 1000
+    except FileNotFoundError:
+        pass
+    stats = table_stats(data_dir) or table_stats(doc_dir)
+    if stats and "max_timestamp" in stats:
+        return int(stats["max_timestamp"])
+    return None
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -117,21 +153,14 @@ def write_snapshot(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(os.path.join(location, "data"), exist_ok=True)
-    try:
-        log = _read_manifest(location)
-    except FileNotFoundError:
-        log = []
-    if log and log[-1]["timestamp_ms"] >= timestamp_ms:
-        raise ValueError(
-            f"snapshot timestamps must increase: have {log[-1]['timestamp_ms']}, "
-            f"got {timestamp_ms}"
-        )
-    snap_id = (log[-1]["snapshot_id"] + 1) if log else 1
-    # unique per-attempt staging dir (Iceberg stages under a UUID for the
-    # same reason): a crash between data write and manifest rename must
-    # leave only unreferenced garbage, never a name collision that blocks
-    # the retry — uncommitted dirs are simply never listed in a manifest
-    staging = tempfile.mkdtemp(dir=os.path.join(location, "data"), prefix=f"s{snap_id:06d}-")
+    # the data write happens OUTSIDE the commit lock (it's the long part
+    # and produces only unreferenced files until the manifest lists
+    # them); the read-manifest -> validate -> write-manifest section is
+    # serialized with an exclusive flock (ADVICE r2: two unlocked
+    # committers would both read the same log and the second os.replace
+    # silently discarded the first one's snapshot — the checkpoint state
+    # machine this layout cites has always flocked, state/checkpoint.py)
+    staging = tempfile.mkdtemp(dir=os.path.join(location, "data"), prefix="stage-")
     os.rmdir(staging)  # parquet writer wants to create it
     df.write.mode("errorifexists").parquet(staging)
     files = sorted(
@@ -139,18 +168,31 @@ def write_snapshot(
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     )
-    prev_files = log[-1]["files"] if (mode == "append" and log) else []
-    entry = {
-        "snapshot_id": snap_id,
-        "timestamp_ms": int(timestamp_ms),
-        "files": prev_files + files,
-    }
-    log.append(entry)
-    # atomic commit: manifest rename is the commit point
-    fd, tmp = tempfile.mkstemp(dir=location, prefix="._snapshots-")
-    with os.fdopen(fd, "w") as f:
-        json.dump(log, f)
-    os.replace(tmp, os.path.join(location, _MANIFEST))
+    lock_path = os.path.join(location, "._snapshots.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            log = _read_manifest(location)
+        except FileNotFoundError:
+            log = []
+        if log and log[-1]["timestamp_ms"] >= timestamp_ms:
+            raise ValueError(
+                f"snapshot timestamps must increase: have {log[-1]['timestamp_ms']}, "
+                f"got {timestamp_ms}"
+            )
+        snap_id = (log[-1]["snapshot_id"] + 1) if log else 1
+        prev_files = log[-1]["files"] if (mode == "append" and log) else []
+        entry = {
+            "snapshot_id": snap_id,
+            "timestamp_ms": int(timestamp_ms),
+            "files": prev_files + files,
+        }
+        log.append(entry)
+        # atomic commit: manifest rename is the commit point
+        fd, tmp = tempfile.mkstemp(dir=location, prefix="._snapshots-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, os.path.join(location, _MANIFEST))
     return entry
 
 

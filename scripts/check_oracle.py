@@ -52,11 +52,16 @@ def compare(name, sdf, sql, con) -> str:
             ot = next((type(r[omap_raw[c]]).__name__ for r in orows if r[omap_raw[c]] is not None), None)
             if st is not None and ot is not None and st != ot:
                 return f"TYPE-MISMATCH col={c} spark={st} oracle={ot}"
+    def sort_key(t):  # null-safe, mixed-type-safe ordering
+        return tuple((v is None, str(v)) for v in t)
+
     sset = sorted(
-        tuple(norm_cell(r[c]) for c in scols) for r in spark_rows
+        (tuple(norm_cell(r[c]) for c in scols) for r in spark_rows), key=sort_key
     )
     omap = {c: i for i, c in enumerate(ocols_raw)}
-    oset = sorted(tuple(norm_cell(r[omap[c]]) for c in scols) for r in orows)
+    oset = sorted(
+        (tuple(norm_cell(r[omap[c]]) for c in scols) for r in orows), key=sort_key
+    )
     if sset != oset:
         diff = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
         return f"VALUES-MISMATCH n={len(spark_rows)} first_diffs={diff}"

@@ -80,6 +80,31 @@ def test_simhash_near_pairs(spark, docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_64bit_default(spark, docs):
+    """64-bit default (r3): low word is the old 32-bit fingerprint
+    exactly (bits 0-59 read the same md5 word), near-pairs honor the
+    sign bit, and the derived banding keeps >= 8-bit bands."""
+    fp64 = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    fp32 = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, bits=32).collect()}
+    for d in fp32:
+        assert fp64[d] & 0xFFFFFFFF == fp32[d]
+    assert fp64[1] == fp64[2] == fp64[5]
+    # default complete contract at 64 bits: max_hamming=6 -> bands
+    # derived 7 -> rounded to 8 (divisor of 64) -> 8-bit band values
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dd.simhash_near_pairs(
+            spark.createDataFrame(
+                [(k, v) for k, v in fp64.items()], "doc_id long, simhash long"
+            )
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+    assert (1, 4) not in pairs
+    with pytest.raises(ValueError, match="bits"):
+        dd.simhash(docs, bits=121)
+
+
 def test_brute_force_and_lsh_topk(spark):
     import numpy as np
 
