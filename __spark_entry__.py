@@ -757,6 +757,60 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+# IVF scale path: md5-ranked deterministic centroids (k-means++ seeding,
+# no iterations — see similarity.py module docstring), nearest-centroid
+# cell assignment (argmax of round-4 cosine, ties to the larger cell on
+# both sides), probe the query's 4 nearest of 32 cells, exact top-k
+# inside. At scale the cell id is a stored cluster/partition key and the
+# cell predicate prunes the scan; recall is tuned by n_probe.
+_IVF_N, _IVF_PROBE = 32, 4
+_IVF_CENTROIDS_SQL = f"""
+  SELECT embedding::DOUBLE[] AS cv,
+         row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1 AS cell
+  FROM embeddings ORDER BY md5(vec_id::varchar), vec_id LIMIT {_IVF_N}"""
+
+
+@_q(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS ({_IVF_CENTROIDS_SQL}),
+    scored AS (
+      SELECT e.vec_id, c.cell,
+             round(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 4) AS s
+      FROM embeddings e CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rk
+        FROM scored) WHERE rk = 1),
+    qprobe AS (
+      SELECT cell FROM (
+        SELECT cell,
+               round(list_dot_product(cv, {_QV_SQL})
+                     / (sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product({_QV_SQL}, {_QV_SQL}))), 4) AS s
+        FROM c)
+      ORDER BY s DESC, cell DESC LIMIT {_IVF_PROBE})
+    SELECT e.vec_id, round({_COS_SQL}, 4) AS cosine
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN qprobe p ON a.cell = p.cell
+    ORDER BY {_COS_SQL} DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    out = sim.ivf_topk(
+        _read(spark, sf_dir, "embeddings"),
+        _QUERY_VEC,
+        k=10,
+        n_centroids=_IVF_N,
+        n_probe=_IVF_PROBE,
+    )
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 # ------------------------------------------------------- datapipe: text ops
 _LANG_HITS_SQL = {
     lang: (

@@ -1,12 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k is the exactness baseline; random-hyperplane
-LSH bucketing is the scale path (probe only matching buckets — at 10^12
-rows the bucket join replaces the full scan). Hyperplanes are
-deterministic pseudo-randoms derived from md5 so the DuckDB oracle can
-replay them exactly; an IVF variant would swap the plane-sign bucket
-for a nearest-centroid bucket (centroid training is out of scope —
-LSH needs no training and shuffles identically).
+Brute-force cosine top-k is the exactness baseline; two scale paths:
+random-hyperplane LSH bucketing (probe only matching buckets — at 10^12
+rows the bucket predicate replaces the full scan) and IVF
+(nearest-of-n-centroids cells, probe the query's n_probe nearest
+cells). Hyperplanes and centroid choice are deterministic md5-derived
+so the DuckDB oracle can replay them exactly; iterative k-means
+refinement of the IVF centroids is deliberately out of scope — it
+changes WHERE cell boundaries fall, not the cell-filtered scan + local
+top-k shape that matters for the plan, and md5-ranked sampling is
+exactly k-means++'s seeding step.
 
 All vector math is native (`F.zip_with` + `F.aggregate`), JVM-side.
 """
@@ -91,6 +94,86 @@ def lsh_topk(
     return (
         embeddings.withColumn("_bucket", lsh_bucket_expr(vec, planes))
         .filter(F.col("_bucket") == F.lit(q_bucket))
+        .select(F.col(key).alias("vec_id"), cosine_sim(vec, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------- IVF
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 32, vec_col: str = "embedding", key: str = "vec_id"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer centroids: the ``n_centroids``
+    vectors ranking first by md5 of their key — a reproducible
+    pseudo-random sample (k-means++ seeding without the iterations; see
+    module docstring). Returns [(cell_id, vector)] ordered by cell id.
+    The collect is n_centroids rows — the coarse quantizer IS a
+    broadcast-sized dim, never O(data)."""
+    rows = (
+        embeddings.select(F.col(key).alias("k"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col("k").cast("string")), "k")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+
+def _cos_to_lit(vec: Column, lit_vec: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(v)) for v in lit_vec])
+    return cosine_sim(vec, lit)
+
+
+def ivf_assign_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Cell id = argmax cosine over the centroid list, native exprs.
+    Scores are rounded to 4 decimals before the argmax (matching the
+    oracle's fp-safety convention); ties break to the LARGER cell id
+    (array_max on struct<score, id> — mirrored in SQL)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(_cos_to_lit(vec, cvec), 4).alias("s"), F.lit(cid).alias("i")
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    return F.array_max(scored)["i"]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k, IVF shape: score only vectors whose cell is
+    among the query's ``n_probe`` nearest centroids. At scale the cell
+    id is a stored partition/cluster key, so the cell predicate prunes
+    the scan exactly like the LSH bucket does — recall is tuned by
+    n_probe instead of plane count."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, vec_col, key)
+
+    def _cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    probe = sorted(
+        ((round(_cos_py(query, cvec), 4), cid) for cid, cvec in centroids),
+        key=lambda t: (-t[0], -t[1]),
+    )[:n_probe]
+    probe_cells = [cid for _, cid in probe]
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        embeddings.withColumn("_cell", ivf_assign_expr(vec, centroids))
+        .filter(F.col("_cell").isin(probe_cells))
         .select(F.col(key).alias("vec_id"), cosine_sim(vec, q).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)

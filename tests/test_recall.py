@@ -83,6 +83,38 @@ def test_simhash_near_pairs_recall(spark, clustered_docs):
     assert recalls[8] > recalls[4]
 
 
+def test_minhash_lsh_recall(spark, clustered_docs):
+    """MinHash-LSH candidate recall vs exact 3-gram Jaccard >= 0.5.
+    The S-curve matters: 16 slots as 4 bands x 4 rows has a ~0.23 match
+    probability AT the 0.5 threshold (fine for finding >= 0.8-similar
+    near-dups, lossy at the margin); 8 bands x 2 rows trades more
+    bucket-join traffic for high recall across the whole range — the
+    knob a 100-TB run picks by recall target, pinned here by number."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(
+            clustered_docs, threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert len(exact) >= 50
+    sigs = dd.minhash_signatures(clustered_docs, num_hashes=16)
+    recalls = {}
+    for bands, rows_per_band in ((4, 4), (8, 2)):
+        cands = {
+            (r["doc_a"], r["doc_b"])
+            for r in dd.lsh_candidate_pairs(
+                sigs, bands=bands, rows_per_band=rows_per_band
+            ).collect()
+        }
+        recalls[bands] = len(cands & exact) / len(exact)
+    print(
+        f"\nminhash-LSH recall vs exact J>=0.5: 4x4 bands {recalls[4]:.3f}, "
+        f"8x2 bands {recalls[8]:.3f} over {len(exact)} true pairs"
+    )
+    assert recalls[8] >= 0.9
+    assert recalls[8] >= recalls[4]
+
+
 @pytest.fixture(scope="module")
 def clustered_embeddings(spark):
     """5 labels x 8 clusters x 5 vectors (dim 16): within-cluster
@@ -140,5 +172,51 @@ def test_embedding_near_dups_recall(spark, clustered_embeddings):
     print(
         f"\nembedding_near_dups planes=3 k={k}: near-pair recall={recall_near:.3f} "
         f"over {len(near)} pairs (all-top-k recall={recall_all:.3f})"
+    )
+    assert recall_near >= 0.9
+
+
+def test_ivf_topk_recall(spark, clustered_embeddings):
+    """IVF cell-probe recall vs brute force. Probing all cells must
+    reproduce brute force exactly (degeneracy check); at the default
+    4-of-32 probe, every near neighbor (cosine >= 0.9, the query's
+    cluster) must be found — the far tail of top-k is scattered across
+    unprobed cells by design."""
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in clustered_embeddings.collect()}
+    qid = 0
+    query = [float(x) for x in rows[qid] + 0.01]
+    k = 10
+
+    brute = [
+        (r["vec_id"], r["cosine"])
+        for r in sim.brute_force_topk(clustered_embeddings, query, k=k).collect()
+    ]
+    cents = sim.ivf_centroids(clustered_embeddings, n_centroids=8)
+    all_probe = [
+        (r["vec_id"], r["cosine"])
+        for r in sim.ivf_topk(
+            clustered_embeddings, query, k=k, n_centroids=8, n_probe=8, centroids=cents
+        ).collect()
+    ]
+    assert all_probe == brute  # probe-everything == exact
+
+    approx = {
+        r["vec_id"]
+        for r in sim.ivf_topk(
+            clustered_embeddings, query, k=k, n_centroids=32, n_probe=4
+        ).collect()
+    }
+    brute_ids = [v for v, _ in brute]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    near = {v for v in brute_ids if cos(np.array(query), rows[v]) >= 0.9}
+    assert near  # the query's cluster is in the brute top-k
+    recall_near = len(approx & near) / len(near)
+    recall_k = len(approx & set(brute_ids)) / len(brute_ids)
+    print(
+        f"\nivf_topk 4-of-32 cells: near recall={recall_near:.3f} over {len(near)}, "
+        f"recall@{k}={recall_k:.3f}"
     )
     assert recall_near >= 0.9
