@@ -15,10 +15,13 @@ timings cover the driver-table operator suite.
 ``--scaling`` reruns the pipeline at local[N] and local[4N] in separate
 JVMs (subprocesses) on identical input and reports throughput at both
 plus efficiency = (thr_4N/thr_N)/4. The CANONICAL north-rule evidence
-is `scripts/scaling_cluster.sh` (N vs 4N real executors on a standalone
-cluster, spark-submit --py-files; 0.804 measured at 4M docs —
-scaling_cluster.json / BENCH.md); thread mode shares one JVM heap and
-the box's DRAM across all threads and under-reports cluster scaling.
+is `scripts/scaling_repeats.sh` (>=3 back-to-back N-vs-4N executor
+pairs on a standalone cluster, spark-submit --py-files, MEDIAN
+efficiency: 0.704 at 4M docs, r3 — scaling_repeats_r3.json; the
+event-log audit in BENCH.md shows 95-99% occupancy and attributes the
+gap to per-core DRAM inflation on this single box, not the plan).
+Thread mode shares one JVM heap and under-reports cluster scaling
+further; `--scaling-smoke` keeps the executor path honest in minutes.
 """
 
 from __future__ import annotations

@@ -1,0 +1,114 @@
+"""Decompose a Spark event log into the scaling-relevant terms:
+
+  * per-job wall spans and the driver-serial GAPS between jobs
+  * wall time covered by LOW-PARALLELISM stages (running task count
+    below the cluster's core budget — these act as serial time in an
+    N-vs-4N comparison)
+  * occupancy: total task core-seconds / (cores x busy wall)
+  * top stages by wall, with task counts and total task time
+
+Usage: python scripts/analyze_eventlog.py <event_log_file> [cores]
+
+The event log is the single app-* file spark.eventLog.dir; pass the
+cluster's total cores (default 8 = 4 x 2-core executors).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections import defaultdict
+
+
+def main() -> int:
+    path = sys.argv[1]
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    jobs = {}  # id -> [start, end]
+    stages = {}  # (stage_id, attempt) -> dict
+    tasks = []  # (launch, finish, stage_id)
+    for line in open(path):
+        try:
+            e = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        ev = e.get("Event")
+        if ev == "SparkListenerJobStart":
+            jobs[e["Job ID"]] = [e["Submission Time"], None]
+        elif ev == "SparkListenerJobEnd":
+            if e["Job ID"] in jobs:
+                jobs[e["Job ID"]][1] = e["Completion Time"]
+        elif ev == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            stages[(si["Stage ID"], si["Stage Attempt ID"])] = {
+                "name": si["Stage Name"].split("\n")[0][:70],
+                "submit": si.get("Submission Time"),
+                "complete": si.get("Completion Time"),
+                "n_tasks": si["Number of Tasks"],
+            }
+        elif ev == "SparkListenerTaskEnd":
+            ti = e["Task Info"]
+            tasks.append((ti["Launch Time"], ti["Finish Time"], e["Stage ID"]))
+
+    if not jobs:
+        print("no jobs in log")
+        return 1
+
+    done = {j: (s, e) for j, (s, e) in jobs.items() if e}
+    t0 = min(s for s, _ in done.values())
+    t1 = max(e for _, e in done.values())
+    wall = (t1 - t0) / 1e3
+
+    # driver gaps: merge job intervals, measure uncovered wall
+    ivals = sorted(done.values())
+    covered, cur_s, cur_e = 0, ivals[0][0], ivals[0][1]
+    gaps = []
+    for s, e in ivals[1:]:
+        if s > cur_e:
+            gaps.append((cur_e, s))
+            covered += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    covered += cur_e - cur_s
+    gap_total = (t1 - t0 - covered) / 1e3
+
+    # concurrency profile from task intervals (sweep line)
+    events = []
+    for s, e, _ in tasks:
+        events.append((s, 1))
+        events.append((e, -1))
+    events.sort()
+    low_par_ms = defaultdict(float)  # running tasks -> ms at that level
+    prev_t, running = events[0][0], 0
+    for t, d in events:
+        if t > prev_t:
+            low_par_ms[min(running, cores)] += t - prev_t
+        running += d
+        prev_t = t
+    task_core_s = sum(e - s for s, e, _ in tasks) / 1e3
+
+    print(f"jobs={len(done)} wall={wall:.1f}s  driver-gap-between-jobs={gap_total:.1f}s")
+    print(f"total task time={task_core_s:.0f} core-s  occupancy={task_core_s / (cores * wall):.2%} of {cores} cores x wall")
+    print("\nwall seconds at each concurrency level (capped at cores):")
+    for lvl in sorted(low_par_ms):
+        sec = low_par_ms[lvl] / 1e3
+        if sec > 1:
+            print(f"  {lvl:3d} running: {sec:8.1f}s")
+    under = sum(ms for lvl, ms in low_par_ms.items() if lvl < cores) / 1e3
+    print(f"wall below full width ({cores}): {under:.1f}s  <- acts as serial in N-vs-4N")
+
+    # top stages by wall
+    by_wall = sorted(
+        (s for s in stages.values() if s["submit"] and s["complete"]),
+        key=lambda s: s["complete"] - s["submit"],
+        reverse=True,
+    )[:15]
+    print("\ntop stages by wall (s, tasks, name):")
+    for s in by_wall:
+        print(f"  {(s['complete'] - s['submit']) / 1e3:7.1f}  {s['n_tasks']:5d}  {s['name']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
