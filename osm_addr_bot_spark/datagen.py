@@ -560,6 +560,18 @@ def ensure_dataset(out_dir: str | os.PathLike, n_docs: int = 500, seed: int = 42
     legacy = out / f".done-{n_docs}-{seed}"  # written by the v2 generator pre-versioning
     if not marker.exists() and legacy.exists() and GENERATOR_VERSION == 2:
         legacy.rename(marker)
+        # a blessed legacy world skipped generate(), so it has no stats
+        # sidecar and the source-clock probe would fall back to a full
+        # scan (ADVICE r3) — every sidecar field is derivable here
+        if not (out / "_table_stats.json").exists():
+            import json as _json
+
+            (out / "_table_stats.json").write_text(_json.dumps({
+                "generator_version": GENERATOR_VERSION,
+                "n_docs": n_docs,
+                "seed": seed,
+                "max_timestamp": T0 + WINDOW_S - 1,
+            }))
     if not marker.exists():
         generate(out, n_docs=n_docs, seed=seed)
         for old in out.glob(".done-*"):

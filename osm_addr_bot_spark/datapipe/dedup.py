@@ -310,11 +310,16 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text", key: str = 
     for b in range(bits):
         weight = -(1 << 63) if b == 63 else (1 << b)
         fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(weight).cast("long")).otherwise(0)
-    return votes.select("doc_id", fp.alias("simhash"))
+    # stamp the width into the column metadata so downstream banded
+    # joins can't silently band with the wrong width (ADVICE r3: 32-bit
+    # fps banded as-if-64 zero out bands 4-7 and every doc collides)
+    return votes.select("doc_id", fp.alias("simhash")).withMetadata(
+        "simhash", {"bits": bits}
+    )
 
 
 def simhash_near_pairs(
-    fps: DataFrame, max_hamming: int = 6, bits: int = 64, bands: int | None = None
+    fps: DataFrame, max_hamming: int = 6, bits: int | None = None, bands: int | None = None
 ) -> DataFrame:
     """Banded Hamming join, verified with bit_count.
 
@@ -330,7 +335,26 @@ def simhash_near_pairs(
     bands the mask width never exceeds 64 - shift, so arithmetic
     sign-fill bits are always masked off and Spark/DuckDB agree bit for
     bit even on negative (bit-63-set) fingerprints (probe-verified).
+
+    Width resolution (ADVICE r3): ``simhash()`` stamps its width into
+    the column metadata; ``bits=None`` (default) adopts it, and an
+    explicit ``bits`` that CONTRADICTS the metadata raises — banding
+    32-bit fingerprints as if 64 makes the high bands all-zero and the
+    candidate join degenerates toward all-pairs. Fingerprints from
+    elsewhere (no metadata) default to 64.
     """
+    meta_bits = None
+    if "simhash" in fps.columns:
+        md = fps.schema["simhash"].metadata or {}
+        meta_bits = int(md["bits"]) if "bits" in md else None
+    if bits is None:
+        bits = meta_bits if meta_bits is not None else 64
+    elif meta_bits is not None and bits != meta_bits:
+        raise ValueError(
+            f"fingerprints were built with simhash(bits={meta_bits}) but "
+            f"bits={bits} was passed; banding with the wrong width zeroes "
+            f"the high bands and degenerates the candidate join"
+        )
     if bands is None:
         bands = max_hamming + 1
     if not 1 <= bands <= bits:

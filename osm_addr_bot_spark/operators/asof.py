@@ -39,6 +39,12 @@ from pyspark.sql import functions as F
 
 _MAX_TS = (1 << 63) - 1
 
+# internal columns of the union strategy (ADVICE r3): a probe/history/
+# payload column with one of these names would silently corrupt the
+# carry-forward or fail analysis, and the interval strategy would have
+# accepted the same input — so BOTH strategies reject them up front
+_RESERVED = frozenset({"_t", "_is_probe", "_ver", "_probe", "_live", "_hit"})
+
 
 def asof_join(
     probe: DataFrame,
@@ -64,6 +70,12 @@ def asof_join(
             c for c in history.columns if c not in (*keys, valid_from, valid_to)
         ]
     payload = list(payload)
+    clash = _RESERVED.intersection((*probe.columns, *keys, *payload))
+    if clash:
+        raise ValueError(
+            f"column(s) {sorted(clash)} collide with asof_join internals "
+            f"({sorted(_RESERVED)}); rename them before the join"
+        )
     if strategy == "interval":
         h = history.select(*keys, valid_from, valid_to, *payload).alias("h")
         p = probe.alias("p")

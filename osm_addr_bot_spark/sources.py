@@ -45,11 +45,22 @@ def table_stats(location: str) -> dict | None:
 def source_clock(data_dir: str) -> int | None:
     """High watermark of the documents table from metadata only:
     the snapshot manifest's latest commit when the table is a snapshot
-    table, else the stats sidecar. None -> caller must scan."""
+    table, else the stats sidecar. None -> caller must scan.
+
+    Manifest entries carry ``max_data_ts`` (event-time max, recorded at
+    write_snapshot time) when the committer provided one; that is
+    preferred over the commit clock, because late or future-dated rows
+    can carry event timestamps LATER than the commit instant and a
+    commit-clock watermark would place them outside every incremental
+    window (ADVICE r3). Without it, the commit clock is used under the
+    documented assumption that commit time bounds event time."""
     doc_dir = os.path.join(data_dir, "documents.parquet")
     try:
         log = _read_manifest(doc_dir)
         if log:
+            data_maxes = [s["max_data_ts"] for s in log if s.get("max_data_ts") is not None]
+            if data_maxes:
+                return int(max(data_maxes))
             return int(log[-1]["timestamp_ms"]) // 1000
     except FileNotFoundError:
         pass
@@ -141,6 +152,7 @@ def write_snapshot(
     timestamp_ms: int,
     *,
     mode: str = "overwrite",
+    max_data_ts: int | None = None,
 ) -> dict:
     """Commit `df` as a new snapshot of the table at `location`.
 
@@ -149,6 +161,12 @@ def write_snapshot(
     this write. Data files are immutable once committed — a new snapshot
     never touches old files, so concurrent readers of an older snapshot
     are unaffected (Iceberg's reader isolation).
+
+    ``max_data_ts``: event-time max of the rows in `df` (seconds), the
+    Iceberg snapshot-summary analog; ``source_clock`` prefers it over
+    the commit clock so late/future-dated rows stay inside the
+    incremental window (ADVICE r3). Ingestion writers usually have this
+    number for free (they bounded the batch); pass it whenever known.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -185,6 +203,7 @@ def write_snapshot(
         entry = {
             "snapshot_id": snap_id,
             "timestamp_ms": int(timestamp_ms),
+            "max_data_ts": int(max_data_ts) if max_data_ts is not None else None,
             "files": prev_files + files,
         }
         log.append(entry)

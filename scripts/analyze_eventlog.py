@@ -73,22 +73,31 @@ def main() -> int:
     covered += cur_e - cur_s
     gap_total = (t1 - t0 - covered) / 1e3
 
-    # concurrency profile from task intervals (sweep line)
+    # concurrency profile from task intervals (sweep line); a truncated
+    # log (killed run) can carry jobs but zero TaskEnd events — report
+    # what we have instead of IndexError-ing on events[0] (ADVICE r3)
     events = []
     for s, e, _ in tasks:
         events.append((s, 1))
         events.append((e, -1))
     events.sort()
     low_par_ms = defaultdict(float)  # running tasks -> ms at that level
-    prev_t, running = events[0][0], 0
-    for t, d in events:
-        if t > prev_t:
-            low_par_ms[min(running, cores)] += t - prev_t
-        running += d
-        prev_t = t
+    if events:
+        prev_t, running = events[0][0], 0
+        for t, d in events:
+            if t > prev_t:
+                low_par_ms[min(running, cores)] += t - prev_t
+            running += d
+            prev_t = t
+    else:
+        print("warning: no TaskEnd events (truncated log?) — skipping concurrency sweep")
     task_core_s = sum(e - s for s, e, _ in tasks) / 1e3
 
     print(f"jobs={len(done)} wall={wall:.1f}s  driver-gap-between-jobs={gap_total:.1f}s")
+    if gaps:
+        worst = sorted(gaps, key=lambda g: g[1] - g[0], reverse=True)[:5]
+        print("largest driver gaps (s, at +s from start): "
+              + ", ".join(f"{(e - s) / 1e3:.1f}@{(s - t0) / 1e3:.0f}" for s, e in worst))
     print(f"total task time={task_core_s:.0f} core-s  occupancy={task_core_s / (cores * wall):.2%} of {cores} cores x wall")
     print("\nwall seconds at each concurrency level (capped at cores):")
     for lvl in sorted(low_par_ms):

@@ -106,3 +106,16 @@ def test_asof_multi_key(spark):
             ).collect()
         }
         assert got == {1: "x", 2: "y", 3: None}
+
+
+def test_asof_reserved_column_names_raise(spark, history, probes):
+    """ADVICE r3: the union strategy's internal columns (_t, _ver, ...)
+    silently corrupted the join when a caller's column shared the name;
+    both strategies now reject the collision up front."""
+    bad_probe = probes.withColumn("_ver", F.lit(1))
+    for strategy in ("interval", "union"):
+        with pytest.raises(ValueError, match="_ver"):
+            asof_join(bad_probe, history, keys=["key"], probe_ts="ts", strategy=strategy)
+    bad_hist = history.withColumn("_live", F.lit(1))  # becomes a payload column
+    with pytest.raises(ValueError, match="_live"):
+        asof_join(probes, bad_hist, keys=["key"], probe_ts="ts")

@@ -112,3 +112,33 @@ def test_concurrent_snapshot_commits_never_lose_entries(spark, tmp_path):
     assert len(log) == 1 + len(successes)
     with open(f"{loc}/_snapshots.json") as f:
         assert json.load(f) == log
+
+
+def test_blessed_legacy_marker_gets_sidecar(tmp_path):
+    """ADVICE r3: blessing a legacy marker skips generate(), so the
+    stats sidecar must be written at bless time or the watermark probe
+    silently falls back to a full scan."""
+    legacy_world = tmp_path / "legacy"
+    legacy_world.mkdir()
+    (legacy_world / ".done-20-1").touch()
+    datagen.ensure_dataset(legacy_world, n_docs=20, seed=1)
+    stats = sources.table_stats(str(legacy_world))
+    assert stats is not None
+    assert stats["max_timestamp"] == datagen.T0 + datagen.WINDOW_S - 1
+    assert sources.source_clock(str(legacy_world)) == stats["max_timestamp"]
+
+
+def test_snapshot_max_data_ts_preferred_over_commit_clock(spark, tmp_path):
+    """ADVICE r3: event timestamps can run AHEAD of the commit clock
+    (future-dated rows); a commit recording max_data_ts wins the
+    source-clock probe so those rows stay inside the window."""
+    world = tmp_path / "w"
+    loc = str(world / "documents.parquet")
+    df = spark.range(3).selectExpr("cast(id as string) AS doc_id")
+    sources.write_snapshot(df, loc, timestamp_ms=1_700_000_000_000)
+    # no data-time recorded -> commit clock (documented assumption)
+    assert sources.source_clock(str(world)) == 1_700_000_000
+    sources.write_snapshot(
+        df, loc, timestamp_ms=1_700_000_100_000, max_data_ts=1_700_009_999
+    )
+    assert sources.source_clock(str(world)) == 1_700_009_999

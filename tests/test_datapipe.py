@@ -275,3 +275,16 @@ def test_embedding_near_dups_lsh_blocked(spark):
     # the physical join keys include the bucket (no within-label cross join)
     plan = sim.embedding_near_dups(df, k=3)._jdf.queryExecution().optimizedPlan().toString()
     assert "bucket" in plan
+
+
+def test_simhash_width_metadata_guard(spark, docs):
+    """ADVICE r3: 32-bit fingerprints banded as if 64-bit zero out the
+    high bands and the candidate join degenerates toward all-pairs.
+    simhash() stamps its width into the column metadata; near_pairs
+    adopts it by default and refuses a contradicting explicit width."""
+    fp32 = dd.simhash(docs, bits=32)
+    # default bits adopts the metadata width - no degenerate banding
+    pairs = dd.simhash_near_pairs(fp32, max_hamming=8, bands=4)
+    assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    with pytest.raises(ValueError, match="bits=32"):
+        dd.simhash_near_pairs(fp32, max_hamming=8, bits=64)
