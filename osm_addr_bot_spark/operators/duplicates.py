@@ -25,6 +25,16 @@ tests/test_geo.py) x a deterministic salt sequence; candidates carry
 ``pmod(hash(uid), k)`` salt. The (cell, salt) equi-join bounds per-task
 fan-in under urban skew; AQE skew-join remains as backstop. Distance +
 tag equality refine after the join, all native exprs.
+
+Shuffle-width note (r3 event-log audit): the match predicates need only
+(family, lat/lon, the five EQUAL_TAGS values, uid) — so BOTH sides of
+the (cell, salt) exchange ship that slim projection (the probe side is
+replicated 7 x salt ways, so every byte there is multiplied), the join
+emits bare (issue-key, c_uid) links, and the full payloads (tags map,
+bbox, provenance) are re-fetched AFTER matching by one issue-key join
+plus one broadcast-sized uid join against the already-persisted
+elements scan. Matches are bounded by the surviving issue count — a
+broadcast-sized set by construction, never O(universe).
 """
 
 from __future__ import annotations
@@ -58,7 +68,12 @@ def whitelist_expr(tags: Column) -> Column:
 
 def equal_tags_expr(left: Column, right: Column) -> Column:
     """Null-safe equality on the five address tags
-    (reference duplicate_search.py:21-27, 40-44): absent == absent."""
+    (reference duplicate_search.py:21-27, 40-44): absent == absent.
+
+    Reference semantics form (X9); the pipeline's join itself uses the
+    pre-extracted scalar quintuple (``_eq_vals`` below) so the exchange
+    never ships the maps — this expression and that projection are
+    equivalent by construction (same element_at + eqNullSafe per key)."""
     acc = F.lit(True)
     for k in EQUAL_TAGS:
         acc = acc & F.element_at(left, F.lit(k)).eqNullSafe(F.element_at(right, F.lit(k)))
@@ -73,15 +88,37 @@ def skip_large_expr() -> Column:
     )
 
 
+_ISSUE_KEY = ["category", "check_id", "changeset_id", "uid"]
+
+# columns of the dup output rows sourced from the CANDIDATE (everything
+# else is issue provenance, quirk Q4: duplicates inherit the issue's
+# timestamp/changeset and a zeroed bbox)
+_CAND_SOURCED = frozenset(
+    (
+        "uid", "element_type", "element_id", "tags", "lat", "lon",
+        "minlat", "minlon", "maxlat", "maxlon", "bb_width_m", "bb_height_m",
+        "hex9", "s2_15", "doc_id", "span_offset",
+    )
+)
+
+
 def duplicates_stage(
     issues: DataFrame,
     elements: DataFrame,
     radius_m: float = DUPLICATE_RADIUS_M,
     salt_buckets: int = SALT_BUCKETS,
     hot_cell_threshold: int = 4000,
+    broadcast_refetch: bool = True,
 ) -> DataFrame:
     """Run J1 for the DUPLICATED check's issue rows; returns the check's
-    new issue set in the same long format."""
+    new issue set in the same long format.
+
+    ``broadcast_refetch``: the payload re-fetch join (matched links x
+    candidate universe) broadcasts the link side — links are bounded by
+    the whitelist-clean issue count, orders of magnitude below the
+    universe. Disable only if a workload's match set outgrows the
+    broadcast budget; the join then shuffles on c_uid with AQE picking
+    the strategy."""
     issue_cols = issues.columns
 
     iss = issues.filter(skip_large_expr()).filter(whitelist_expr(F.col("tags")))
@@ -91,6 +128,14 @@ def duplicates_stage(
     cand_base = elements.filter(
         F.map_contains_key(F.col("tags"), F.lit("addr:housenumber"))
     ).filter(whitelist_expr(F.col("tags")))
+
+    def _eq_vals(tags: Column, prefix: str) -> list[Column]:
+        # the EQUAL_TAGS quintuple, pre-extracted so the exchange ships
+        # five scalars instead of the full tags map
+        return [
+            F.element_at(tags, F.lit(t)).alias(f"{prefix}{i}")
+            for i, t in enumerate(EQUAL_TAGS)
+        ]
 
     # Targeted salting: only cells whose candidate count exceeds the
     # threshold are split into salt buckets (build side) and probed with
@@ -106,8 +151,17 @@ def duplicates_stage(
         .select("_cell", F.lit(True).alias("_hot"))
     )
 
+    # ---- slim match phase: only what the predicates read crosses the
+    # (cell, salt) exchange — probe bytes are multiplied by 7 ring cells
+    # x salt fan-out, so the slim projection is the direct attack on the
+    # widest shuffle (r3 DRAM-inflation audit)
     iss_probe = (
-        iss.withColumn("_cell", F.explode(kring_expr(F.col("hex9"), k)))
+        iss.select(
+            *_ISSUE_KEY, "element_type", "lat", "lon", "hex9",
+            *_eq_vals(F.col("tags"), "_eq"),
+        )
+        .withColumn("_cell", F.explode(kring_expr(F.col("hex9"), k)))
+        .drop("hex9")
         .join(F.broadcast(hot), "_cell", "left")
         .withColumn(
             "_salt",
@@ -131,14 +185,9 @@ def duplicates_stage(
             .alias("_salt"),
             F.col("uid").alias("c_uid"),
             F.col("element_type").alias("c_element_type"),
-            F.col("element_id").alias("c_element_id"),
-            F.col("tags").alias("c_tags"),
             F.col("lat").alias("c_lat"),
             F.col("lon").alias("c_lon"),
-            F.col("hex9").alias("c_hex9"),
-            F.col("s2_15").alias("c_s2_15"),
-            F.col("doc_id").alias("c_doc_id"),
-            F.col("span_offset").alias("c_span_offset"),
+            *_eq_vals(F.col("tags"), "_ceq"),
         )
     )
 
@@ -146,7 +195,11 @@ def duplicates_stage(
         F.col("element_type") == "node", F.col("c_element_type") != "node"
     ).otherwise(F.col("c_element_type") == "node")
 
-    pairs = (
+    eq_quintuple = F.lit(True)
+    for i in range(len(EQUAL_TAGS)):
+        eq_quintuple = eq_quintuple & F.col(f"_eq{i}").eqNullSafe(F.col(f"_ceq{i}"))
+
+    links = (
         iss_probe.join(cand, ["_cell", "_salt"])
         .filter(opposite_family)
         .filter(F.col("c_uid") != F.col("uid"))
@@ -154,21 +207,44 @@ def duplicates_stage(
             haversine_m(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
             <= F.lit(float(radius_m))
         )
-        .filter(equal_tags_expr(F.col("tags"), F.col("c_tags")))
+        .filter(eq_quintuple)
+        .select(*_ISSUE_KEY, "c_uid")
     )
 
-    # issues that found >= 1 duplicate survive (left_semi dedups the
-    # build side itself — no distinct shuffle needed)
-    hit_keys = pairs.select("category", "check_id", "changeset_id", "uid")
-    surviving = iss.join(hit_keys, ["category", "check_id", "changeset_id", "uid"], "left_semi")
+    # one row per surviving issue carrying its matched uids — the only
+    # aggregate over the (small) link set
+    hits = links.groupBy(*_ISSUE_KEY).agg(F.collect_set("c_uid").alias("_dup_uids"))
 
-    # duplicates inherit issue provenance + zeroed bbox (quirk Q4)
-    dup_rows = pairs.select(
-        *[c for c in issue_cols if not c.startswith("c_") and c not in (
-            "uid", "element_type", "element_id", "tags", "lat", "lon",
-            "minlat", "minlon", "maxlat", "maxlon", "bb_width_m", "bb_height_m",
-            "hex9", "s2_15", "doc_id", "span_offset",
-        )],
+    # ---- refetch phase: issues that found >= 1 duplicate survive with
+    # their FULL payload via one key join (hits is small -> AQE
+    # broadcasts it; iss itself never re-shuffles then)
+    iss_hit = iss.join(hits, _ISSUE_KEY, "inner")
+    surviving = iss_hit.drop("_dup_uids")
+
+    # duplicates inherit issue provenance + zeroed bbox (quirk Q4);
+    # candidate payloads re-fetched from the persisted elements scan by
+    # uid — link side broadcast, so the wide candidate rows never cross
+    # an exchange
+    prov_cols = [c for c in issue_cols if c not in _CAND_SOURCED]
+    link_prov = iss_hit.select(
+        *prov_cols, F.explode("_dup_uids").alias("c_uid")
+    )
+    if broadcast_refetch:
+        link_prov = F.broadcast(link_prov)
+    cand_payload = cand_base.select(
+        F.col("uid").alias("c_uid"),
+        F.col("doc_id").alias("c_doc_id"),
+        F.col("span_offset").alias("c_span_offset"),
+        F.col("element_type").alias("c_element_type"),
+        F.col("element_id").alias("c_element_id"),
+        F.col("tags").alias("c_tags"),
+        F.col("lat").alias("c_lat"),
+        F.col("lon").alias("c_lon"),
+        F.col("hex9").alias("c_hex9"),
+        F.col("s2_15").alias("c_s2_15"),
+    )
+    dup_rows = cand_payload.join(link_prov, "c_uid").select(
+        *prov_cols,
         F.col("c_doc_id").alias("doc_id"),
         F.col("c_span_offset").alias("span_offset"),
         F.col("c_element_type").alias("element_type"),

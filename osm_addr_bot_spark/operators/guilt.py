@@ -34,6 +34,33 @@ from pyspark.sql import functions as F
 
 from osm_addr_bot_spark.checks.registry import all_categories
 from osm_addr_bot_spark.checks.selectors import selector_expr
+from osm_addr_bot_spark.operators.asof import asof_join
+
+
+def _join_pre_snapshot(
+    issues: DataFrame, elements_history: DataFrame, strategy: str
+) -> DataFrame:
+    """issues + ``old_tags`` of the version live at timestamp-1 (null ->
+    element created in this changeset). One shared implementation — the
+    reusable as-of operator (operators/asof.py) — serves both guilt
+    entry points; ``strategy='union'`` is the sort-based scale path for
+    version-heavy histories (one shuffle regardless of versions/key)."""
+    hist = elements_history.select(
+        "element_type",
+        "element_id",
+        "valid_from",
+        "valid_to",
+        F.col("tags").alias("old_tags"),
+    )
+    probe = issues.withColumn("_asof_ts", F.col("timestamp") - 1)
+    return asof_join(
+        probe,
+        hist,
+        keys=["element_type", "element_id"],
+        probe_ts="_asof_ts",
+        payload=["old_tags"],
+        strategy=strategy,
+    ).drop("_asof_ts")
 
 
 def _diff_selector_expr(diff: Column, fidelity: bool = False) -> Column:
@@ -63,33 +90,19 @@ def _diff_selector_expr(diff: Column, fidelity: bool = False) -> Column:
 
 
 def guilty_changesets(
-    issues: DataFrame, elements_history: DataFrame, fidelity: bool = False
+    issues: DataFrame, elements_history: DataFrame, fidelity: bool = False,
+    strategy: str = "interval",
 ) -> DataFrame:
-    """(category, changeset_id, guilty) for every changeset with issues."""
-    hist = elements_history.select(
-        F.col("element_type"),
-        F.col("element_id"),
-        F.col("valid_from"),
-        F.col("valid_to"),
-        F.col("tags").alias("old_tags"),
-    )
+    """(category, changeset_id, guilty) for every changeset with issues.
+
+    The as-of LEFT join keeps issues whose history rows all miss the
+    interval, with null old_tags (=> created => guilty) — the
+    reference's missing-snapshot semantics rather than silently
+    vanishing."""
     iss = issues.select(
         "category", "check_id", "changeset_id", "element_type", "element_id", "timestamp", "tags"
-    ).alias("i")
-    hist = hist.alias("h")
-    asof = F.col("i.timestamp") - 1
-    # as-of predicate inside the LEFT join: an element whose history
-    # rows all miss the interval keeps its issue row with null old_tags
-    # (=> created => guilty), matching the reference's missing-snapshot
-    # semantics rather than silently vanishing
-    joined = iss.join(
-        hist,
-        (F.col("i.element_type") == F.col("h.element_type"))
-        & (F.col("i.element_id") == F.col("h.element_id"))
-        & (F.col("h.valid_from") <= asof)
-        & (asof < F.col("h.valid_to")),
-        "left",
-    ).select("i.*", "h.old_tags")
+    )
+    joined = _join_pre_snapshot(iss, elements_history, strategy)
     created = F.col("old_tags").isNull()
     diff = F.map_filter(
         F.col("tags"),
@@ -104,7 +117,8 @@ def guilty_changesets(
 
 
 def filter_guilty(
-    issues: DataFrame, elements_history: DataFrame, fidelity: bool = False
+    issues: DataFrame, elements_history: DataFrame, fidelity: bool = False,
+    strategy: str = "interval",
 ) -> DataFrame:
     """Keep only issues of guilty changesets (reference main.py:221-223:
     'Not guilty' changesets are skipped entirely).
@@ -114,19 +128,7 @@ def filter_guilty(
     instead of aggregate + semi join."""
     from pyspark.sql import Window
 
-    hist = elements_history.select(
-        "element_type", "element_id", "valid_from", "valid_to", F.col("tags").alias("old_tags")
-    ).alias("h")
-    iss = issues.alias("i")
-    asof = F.col("i.timestamp") - 1
-    joined = iss.join(
-        hist,
-        (F.col("i.element_type") == F.col("h.element_type"))
-        & (F.col("i.element_id") == F.col("h.element_id"))
-        & (F.col("h.valid_from") <= asof)
-        & (asof < F.col("h.valid_to")),
-        "left",
-    ).select("i.*", "h.old_tags")
+    joined = _join_pre_snapshot(issues, elements_history, strategy)
     created = F.col("old_tags").isNull()
     diff = F.map_filter(
         F.col("tags"), lambda k, v: ~v.eqNullSafe(F.element_at(F.col("old_tags"), k))

@@ -80,7 +80,15 @@ def street_names_stage(
     for radius in radii:
         res = pick_res(radius)
         index = street_vertex_index(streets, res)
-        probe = with_cover(remaining, float(radius), res).withColumn("_name", F.col("_street"))
+        # slim probe (r3 shuffle-width audit): the (cell, name) exchange
+        # replicates every probe row once per cover cell, so it ships
+        # only the issue key + point + name — the full issue payload
+        # (tags map, bbox) rejoins via the anti-join below, which was
+        # already keyed on _ISSUE_KEY
+        probe = (
+            remaining.select(*_ISSUE_KEY, "lat", "lon", F.col("_street").alias("_name"))
+            .transform(lambda df: with_cover(df, float(radius), res))
+        )
         matched = (
             probe.join(index, ["_cell", "_name"])
             .filter(

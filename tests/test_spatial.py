@@ -386,3 +386,39 @@ def test_spatial_plans_have_no_python(spark):
         issues_df(spark, [issue]), elements_df(spark, [issue, cand])
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_guilt_strategies_equivalent(spark):
+    """J5 now routes through the shared as-of operator (VERDICT r3 #6):
+    the union (sort-based scale path) and interval strategies must give
+    identical guilt verdicts and identical surviving issue sets."""
+    ts = 1_700_000_000
+    issues = issues_df(
+        spark,
+        [
+            mk_issue(changeset_id=1, element_id=1, check_id="BAD_POSTCODE_FORMAT",
+                     tags={"addr:postcode": "bad"}, timestamp=ts),
+            mk_issue(changeset_id=2, element_id=2, check_id="BAD_POSTCODE_FORMAT",
+                     tags={"addr:postcode": "bad", "note": "new"}, timestamp=ts),
+            mk_issue(changeset_id=3, element_id=3, check_id="BAD_POSTCODE_FORMAT",
+                     tags={"addr:postcode": "bad"}, timestamp=ts),
+        ],
+    )
+    hist = _hist(
+        spark,
+        [
+            ("node", 1, 0, ts, {"addr:postcode": "old"}),
+            ("node", 1, ts, ts + 50, {"addr:postcode": "mid"}),  # multi-version key
+            ("node", 2, 0, ts, {"addr:postcode": "bad", "note": "old"}),
+        ],
+    )
+    g_i = {r["changeset_id"]: r["guilty"]
+           for r in guilty_changesets(issues, hist, strategy="interval").collect()}
+    g_u = {r["changeset_id"]: r["guilty"]
+           for r in guilty_changesets(issues, hist, strategy="union").collect()}
+    assert g_i == g_u == {1: True, 2: False, 3: True}
+    kept_i = {tuple(r) for r in filter_guilty(issues, hist, strategy="interval")
+              .select("changeset_id", "element_id").collect()}
+    kept_u = {tuple(r) for r in filter_guilty(issues, hist, strategy="union")
+              .select("changeset_id", "element_id").collect()}
+    assert kept_i == kept_u
