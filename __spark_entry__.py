@@ -811,6 +811,57 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+# Stored-bucket scale path (VERDICT r3 #1): the bucket/cell is written
+# ONCE as a partition column and queries read only the probed
+# partitions (partition pruning demonstrated in tests/test_ann_pruned).
+# The store is cached under /tmp per sf_dir — the write is itself part
+# of the contract (one pass, no shuffle), the reads are the hot path.
+import os as _os  # noqa: E402
+
+_LSH_PROBE_N = 2
+_PROBE_BUCKETS = sim.lsh_probe_buckets(_QUERY_VEC, _PLANES, _LSH_PROBE_N)
+
+
+def _ann_store_loc(sf_dir: str, kind: str) -> str:
+    return "/tmp/osm_ann_store/" + sf_dir.strip("/").replace("/", "_") + "/" + kind
+
+
+@_q(
+    "ann_lsh_topk_pruned",
+    f"""
+    SELECT vec_id, round({_COS_SQL}, 4) AS cosine
+    FROM embeddings
+    WHERE ({_BUCKET_SQL}) IN ({", ".join(str(b) for b in _PROBE_BUCKETS)})
+    ORDER BY {_COS_SQL} DESC, vec_id LIMIT 10
+    """,
+)
+def q_ann_lsh_topk_pruned(spark, sf_dir):
+    # multi-probe (n_probe=2): the query's bucket plus the cheapest
+    # plane flip — recall up at the cost of one extra partition read
+    loc = _ann_store_loc(sf_dir, "lsh_bucketed")
+    if not _os.path.exists(_os.path.join(loc, "_SUCCESS")):
+        sim.write_bucketed(_read(spark, sf_dir, "embeddings"), loc, _PLANES)
+    out = sim.lsh_topk_pruned(
+        spark, loc, _QUERY_VEC, _PLANES, k=10, n_probe=_LSH_PROBE_N
+    )
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# same oracle SQL as the inline IVF query — the stored-cell path must be
+# output-identical at the same knobs; only the physical scan differs
+@_q("ann_ivf_topk_pruned", _CATALOG["ann_ivf_topk"][1])
+def q_ann_ivf_topk_pruned(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, _IVF_N)
+    loc = _ann_store_loc(sf_dir, "ivf_celled")
+    if not _os.path.exists(_os.path.join(loc, "_SUCCESS")):
+        sim.write_celled(emb, loc, cents)
+    out = sim.ivf_topk_pruned(
+        spark, loc, _QUERY_VEC, cents, k=10, n_probe=_IVF_PROBE
+    )
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 # ------------------------------------------------------- datapipe: text ops
 _LANG_HITS_SQL = {
     lang: (

@@ -166,7 +166,12 @@ def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs: docs sharing any LSH
-    band bucket (band hash over ``rows_per_band`` signature slots)."""
+    band bucket (band hash over ``rows_per_band`` signature slots).
+
+    Measured recall of exact-Jaccard >= 0.5 pairs on the seeded
+    clustered corpus (tests/test_recall.py): 8 bands x 2 rows -> 0.985;
+    4 x 4 -> 0.574. More, narrower bands raise recall (and candidate
+    volume); the pipeline default is the 8x2 shape."""
     n = bands * rows_per_band
     banded = signatures.select(
         "doc_id",
@@ -330,6 +335,9 @@ def simhash_near_pairs(
     bands explicitly is an APPROXIMATION: pairs whose differing bits
     touch every band are missed (recall < 1, precision unaffected —
     candidates are still verified by exact Hamming distance).
+    Measured at max_hamming=10 on the seeded clustered corpus
+    (tests/test_recall.py): bands=8 -> 0.995 recall, bands=4 -> 0.594
+    (documented as too lossy).
 
     Band extraction is (simhash >> b*width) & mask — for equal-width
     bands the mask width never exceeds 64 - shift, so arithmetic

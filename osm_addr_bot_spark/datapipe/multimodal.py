@@ -56,6 +56,31 @@ except ImportError:
 
 HAVE_REAL_IMAGE_DECODER = _PIL_Image is not None
 
+# Audio/video ride the same guard pattern (VERDICT r3 #5): probe the
+# usual decoders at import, decode for real when present, fall back to
+# the deterministic stub per payload otherwise. Neither ships in this
+# sandbox, so these branches are shaped-but-unexecuted here — the swap
+# point is _decode_dims only; schemas, batching and partitioning are
+# identical either way.
+try:  # pragma: no cover - sandbox has no soundfile
+    import io as _sf_io
+
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+    _sf_io = None
+
+try:  # pragma: no cover - sandbox has no av
+    import io as _av_io
+
+    import av as _av
+except ImportError:
+    _av = None
+    _av_io = None
+
+HAVE_REAL_AUDIO_DECODER = _soundfile is not None
+HAVE_REAL_VIDEO_DECODER = _av is not None
+
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a real decoder: dims derived from the
@@ -73,6 +98,21 @@ def _decode_dims(payload: bytes, kind: str) -> tuple[int, int, int]:
         try:
             with _PIL_Image.open(_io.BytesIO(payload)) as img:
                 return img.width, img.height, len(img.getbands())
+        except Exception:  # noqa: BLE001 - undecodable -> stub path
+            pass
+    if HAVE_REAL_AUDIO_DECODER and kind == "audio":  # pragma: no cover
+        try:
+            # (n_frames, sample_rate, channels) reported through the
+            # same triple: width=frames, height=rate, channels=channels
+            info = _soundfile.info(_sf_io.BytesIO(payload))
+            return int(info.frames), int(info.samplerate), int(info.channels)
+        except Exception:  # noqa: BLE001 - undecodable -> stub path
+            pass
+    if HAVE_REAL_VIDEO_DECODER and kind == "video":  # pragma: no cover
+        try:
+            with _av.open(_av_io.BytesIO(payload)) as container:
+                vs = container.streams.video[0]
+                return int(vs.width), int(vs.height), len(container.streams.video)
         except Exception:  # noqa: BLE001 - undecodable -> stub path
             pass
     return _fake_dims(payload)

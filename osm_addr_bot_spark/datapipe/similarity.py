@@ -153,8 +153,12 @@ def ivf_topk(
     """Approximate top-k, IVF shape: score only vectors whose cell is
     among the query's ``n_probe`` nearest centroids. At scale the cell
     id is a stored partition/cluster key, so the cell predicate prunes
-    the scan exactly like the LSH bucket does — recall is tuned by
-    n_probe instead of plane count."""
+    the scan exactly like the LSH bucket does (the stored path is
+    ``write_celled`` + ``ivf_topk_pruned`` below) — recall is tuned by
+    n_probe instead of plane count. Measured at the 4-of-32-cell
+    defaults (tests/test_recall.py): planted near-dup recall 1.0,
+    global recall@10 0.5 — the IVF shape favors finding the close
+    cluster over recovering the full global top-k tail."""
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_centroids, vec_col, key)
 
@@ -199,7 +203,8 @@ def embedding_near_dups(
     10^12 rows: more planes, same math). Trade-off: a true near-dup pair
     split by a hyperplane is missed — standard LSH recall, raised by
     num_planes↓ or multi-probe. Deterministic md5-derived planes keep
-    the DuckDB oracle bit-identical.
+    the DuckDB oracle bit-identical. Measured at the planes=3, k=3
+    defaults (tests/test_recall.py): near-pair recall 0.919.
     """
     from pyspark.sql import Window
 
@@ -261,3 +266,140 @@ def pairwise_topk_per_label(
     # float dot product, and a raw-score order could flip the k-boundary
     w = Window.partitionBy("vec_a").orderBy(F.desc(F.round("cosine", 4)), "vec_b")
     return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+# ------------------------------------------- stored-bucket scale path
+# (VERDICT r3 #1) The inline lsh_topk/ivf_topk above compute the bucket
+# or cell over the full table on every call — correct, but a full scan
+# per query. The production shape is: assign ONCE at ingest, store the
+# assignment as a partition column, and let every query read only the
+# probed partitions. The functions below are that path, and the plan
+# audit in tests/test_ann_pruned.py pins that the scan actually skips
+# files (PartitionFilters on _bucket/_cell, selected files ⊂ table
+# files). At 10^12 rows the same layout is an Iceberg identity
+# partition (or sort/z-order column with min-max skipping): 2^planes or
+# n_centroids directories, each internally splittable, so partition
+# count stays bounded regardless of row count.
+
+
+def write_bucketed(
+    embeddings: DataFrame,
+    location: str,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> None:
+    """Persist the embeddings table partitioned by its LSH bucket.
+
+    One pass over the data, no shuffle (partitionBy on write splits
+    files per task); every future ``lsh_topk_pruned`` call reads only
+    the probed bucket directories."""
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        embeddings.withColumn("_bucket", lsh_bucket_expr(vec, planes))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(location)
+    )
+
+
+def write_celled(
+    embeddings: DataFrame,
+    location: str,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> None:
+    """Persist the embeddings table partitioned by its IVF cell (same
+    contract as ``write_bucketed``; recall tunes via n_probe)."""
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        embeddings.withColumn("_cell", ivf_assign_expr(vec, centroids))
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(location)
+    )
+
+
+def lsh_probe_buckets(
+    query: list[float], planes: list[list[float]], n_probe: int = 1
+) -> list[int]:
+    """Multi-probe bucket list: the query's own bucket first, then
+    buckets reached by flipping the planes with the SMALLEST |margin|
+    (the standard multi-probe LSH ordering — a near neighbor that
+    landed across a hyperplane did so across one the query is close
+    to). Deterministic; enumeration is over 2^planes driver-side ints,
+    fine for the <= 16 planes a partitioned layout wants anyway."""
+    p = len(planes)
+    if p > 16:
+        raise ValueError(f"multi-probe enumeration supports <= 16 planes, got {p}")
+    margins = [sum(a * b for a, b in zip(query, pl)) for pl in planes]
+    base = sum((1 << i) for i, m in enumerate(margins) if m >= 0)
+    costed = sorted(
+        (sum(abs(margins[i]) for i in range(p) if (mask >> i) & 1), base ^ mask)
+        for mask in range(1 << p)
+    )
+    return [b for _, b in costed[: max(1, n_probe)]]
+
+
+def _topk_in(df: DataFrame, query: list[float], k: int, vec_col: str, key: str) -> DataFrame:
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        df.select(F.col(key).alias("vec_id"), cosine_sim(vec, q).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def lsh_topk_pruned(
+    spark,
+    location: str,
+    query: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a ``write_bucketed`` table: scan ONLY the
+    ``n_probe`` multi-probe bucket partitions (partition pruning — the
+    scan's PartitionFilters carry the _bucket predicate, pinned by
+    test). n_probe = 2^planes degrades gracefully to exact brute force.
+    Measured recall@10 vs exact on the seeded corpus at 3 planes
+    (tests/test_ann_pruned.py): 0.9 / 0.9 / 1.0 / 1.0 at n_probe
+    1 / 2 / 4 / 8.
+    """
+    buckets = lsh_probe_buckets(query, planes, n_probe)
+    df = spark.read.parquet(location).filter(F.col("_bucket").isin(buckets))
+    return _topk_in(df, query, k, vec_col, key)
+
+
+def ivf_topk_pruned(
+    spark,
+    location: str,
+    query: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a ``write_celled`` table: scan ONLY the
+    query's ``n_probe`` nearest-centroid cell partitions. Output-
+    equivalent to the inline ``ivf_topk`` at the same knobs (same
+    deterministic centroids, same round-4 probe ranking)."""
+
+    def _cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb)
+
+    probe = sorted(
+        ((round(_cos_py(query, cvec), 4), cid) for cid, cvec in centroids),
+        key=lambda t: (-t[0], -t[1]),
+    )[: max(1, n_probe)]
+    cells = [cid for _, cid in probe]
+    df = spark.read.parquet(location).filter(F.col("_cell").isin(cells))
+    return _topk_in(df, query, k, vec_col, key)

@@ -113,6 +113,21 @@ def run_pipeline(
 
         src_max = source_clock(data_dir)
         if src_max is None:
+            # loud by design (VERDICT r3 #4): at 100 TB this fallback is
+            # a full scan of the documents table to learn ONE number;
+            # datagen worlds always carry the sidecar, snapshot tables
+            # carry the manifest — reaching here means a bare table
+            import warnings
+
+            warnings.warn(
+                f"documents table at {data_dir} has neither a snapshot "
+                f"manifest nor a _table_stats.json sidecar; falling back "
+                f"to a FULL SCAN to compute the source watermark — write "
+                f"commit metadata (sources.write_snapshot / datagen "
+                f"sidecar) to avoid this at scale",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             src_max = t["documents"].select(
                 F.max(F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> get_json_object(s.text, '$.timestamp'))")[0])
             ).first()[0]

@@ -142,3 +142,28 @@ def test_snapshot_max_data_ts_preferred_over_commit_clock(spark, tmp_path):
         df, loc, timestamp_ms=1_700_000_100_000, max_data_ts=1_700_009_999
     )
     assert sources.source_clock(str(world)) == 1_700_009_999
+
+
+def test_bare_table_watermark_fallback_warns(spark, tmp_path):
+    """VERDICT r3 #4: the full-scan watermark fallback (bare table, no
+    sidecar/manifest) must be loud; a datagen world must stay silent."""
+    import warnings as _warnings
+
+    from osm_addr_bot_spark.pipeline import run_pipeline
+
+    world = tmp_path / "w"
+    datagen.generate(world, n_docs=20, seed=1)
+
+    # sidecar present -> no warning (and no scan; pinned by the
+    # metadata-only test above)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        run_pipeline(spark, str(world), checkpoint_dir=str(tmp_path / "c1"), persist=False)
+
+    # sidecar removed -> the documented fallback, loudly
+    (world / "_table_stats.json").unlink()
+    with pytest.warns(RuntimeWarning, match="FULL SCAN"):
+        out = run_pipeline(
+            spark, str(world), checkpoint_dir=str(tmp_path / "c2"), persist=False
+        )
+    assert "commit" in out  # fallback still computes a window

@@ -288,3 +288,14 @@ def test_simhash_width_metadata_guard(spark, docs):
     assert (1, 2) in {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     with pytest.raises(ValueError, match="bits=32"):
         dd.simhash_near_pairs(fp32, max_hamming=8, bits=64)
+
+
+def test_audio_video_guard_fallback():
+    """VERDICT r3 #5: audio/video decode rides the same import-guard
+    pattern as images — absent decoder (or undecodable payload) falls
+    back to the deterministic stub, never aborts the batch."""
+    import osm_addr_bot_spark.datapipe.multimodal as mm
+
+    payload = b"not-a-real-media-file"
+    for kind in ("image", "audio", "video"):
+        assert mm._decode_dims(payload, kind) == mm._fake_dims(payload)
