@@ -38,7 +38,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 SPARK_HOME=${SPARK_HOME:-/opt/spark}
 MASTER_URL="spark://127.0.0.1:7077"
 LOCAL_DIR=/dev/shm/spark-local
-EXEC_CORES=2
+EXEC_CORES="${EXEC_CORES:-2}"   # 1 => the identical-1-core-worker pair (both sides inside the DRAM envelope)
 SHUFFLE_PARTS="${SHUFFLE_PARTS:-8}"   # identical at BOTH levels; scale with world size
 AQE="${AQE:-true}"                    # identical at BOTH levels
 COALESCE="${COALESCE:-true}"          # AQE partition coalescing: identical KNOB at both
@@ -78,11 +78,15 @@ run_at() {
   done
   sleep 3
   local t0 t1
+  local evdir="${EVLOG_BASE:-/tmp/spark-events}/c${EXEC_CORES}w${n_workers}"
+  rm -rf "$evdir" && mkdir -p "$evdir"
   t0=$(python3 -c 'import time; print(time.time())')
   SPARK_SUBMIT_MODE=1 "$SPARK_HOME/bin/spark-submit" \
     --master "$MASTER_URL" \
     --py-files "$ZIP" \
     --driver-memory 4g \
+    --conf spark.eventLog.enabled=true \
+    --conf spark.eventLog.dir="$evdir" \
     --conf spark.executor.cores=$EXEC_CORES \
     --conf spark.executor.memory=4g \
     --conf spark.executor.extraJavaOptions="-XX:ActiveProcessorCount=$EXEC_CORES" \

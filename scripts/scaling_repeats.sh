@@ -14,6 +14,10 @@ OUT="${2:-/tmp/scaling_repeats.json}"
 REPEATS="${3:-3}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export SHUFFLE_PARTS="${SHUFFLE_PARTS:-32}"   # adaptive config (BENCH.md: fastest at every level)
+# EXEC_CORES=1 runs the r3-canonical identical-1-core-worker pairs (both
+# levels inside the box's DRAM envelope — the pair that isolates
+# cluster-SIZE scaling); default 2 keeps the r2/r3 2-core protocol.
+export EXEC_CORES="${EXEC_CORES:-2}"
 
 PAIRS=()
 for i in $(seq 1 "$REPEATS"); do
@@ -27,9 +31,11 @@ import json, statistics, sys
 out, pair_files = sys.argv[1], sys.argv[2:]
 pairs = [json.load(open(p)) for p in pair_files]
 effs = [p["efficiency_n_to_4n"] for p in pairs]
+import os
 res = {
     "protocol": "back-to-back full pairs (T1 then T4 each), identical world and knobs, "
                 "fresh cluster per level; median efficiency is the headline",
+    "exec_cores_per_worker": int(os.environ.get("EXEC_CORES", "2")),
     "world": pairs[0]["world"],
     "pairs": pairs,
     "efficiencies": effs,
