@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from osm_addr_bot_spark.checks import fan_out_checks
 from osm_addr_bot_spark.checks.selectors import normalize_expr
 from osm_addr_bot_spark.datapipe import dedup as dd
+from osm_addr_bot_spark.datapipe import sampling as smp
 from osm_addr_bot_spark.datapipe import similarity as sim
 from osm_addr_bot_spark.datapipe import text as tx
 from osm_addr_bot_spark.geo.haversine import haversine_m, haversine_sql
@@ -623,6 +624,44 @@ def q_dedup_minhash_lsh_pairs(spark, sf_dir):
     return dd.lsh_candidate_pairs(sigs, bands=2, rows_per_band=4)
 
 
+# pairwise LSH output -> duplicate GROUPS (transitive closure): the
+# Spark side iterates min-label propagation (dedup.connected_components,
+# one shuffle per sweep); the oracle closes the same pair relation with
+# a recursive CTE — component = min doc id reachable, is_rep marks the
+# canonical keeper per group
+@_q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, unnest({_shingle3_sql()}) AS sh FROM documents),
+         sig AS (SELECT doc_id,
+                        {", ".join(e + " AS h%d" % i for i, e in enumerate(_MIN_EXPRS))}
+                 FROM sh GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, 0 AS band, md5(h0::varchar || ',' || h1::varchar || ',' || h2::varchar || ',' || h3::varchar) AS bucket FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band, md5(h4::varchar || ',' || h5::varchar || ',' || h6::varchar || ',' || h7::varchar) AS bucket FROM sig),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
+    SELECT a AS doc_id,
+           least(a, min(b)) AS component,
+           a = least(a, min(b)) AS is_rep
+    FROM walk GROUP BY a
+    """,
+)
+def q_dedup_components(spark, sf_dir):
+    sigs = dd.minhash_signatures(_read(spark, sf_dir, "documents"), num_hashes=_MINHASHES)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=2, rows_per_band=4)
+    return dd.connected_components(pairs)
+
+
 @_q(
     "dedup_ngram_jaccard",
     f"""
@@ -860,6 +899,55 @@ def q_ann_ivf_topk_pruned(spark, sf_dir):
         spark, loc, _QUERY_VEC, cents, k=10, n_probe=_IVF_PROBE
     )
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# --------------------------------------------------- datapipe: sampling
+# deterministic sampling (datapipe/sampling.py): the Bernoulli form is
+# shuffle-free (the 100-TB path); the stratified quota pays one window
+# shuffle for exactness; splits are hash bands so membership never
+# moves with cluster size or re-runs
+_SAMPLE_U = smp.unit_hash_sql("doc_id", "sample")
+_SPLIT_U = smp.unit_hash_sql("doc_id", "split")
+
+
+@_q(
+    "sample_fraction_det",
+    f"SELECT doc_id, lang FROM documents WHERE {_SAMPLE_U} < 0.25",
+)
+def q_sample_fraction_det(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return smp.sample_fraction(docs, 0.25).select("doc_id", "lang")
+
+
+@_q(
+    "split_assign_bands",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_SPLIT_U} < 0.1 THEN 'test'
+                WHEN {_SPLIT_U} < 0.9 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def q_split_assign_bands(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = smp.split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+@_q(
+    "stratified_sample_topn",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_SAMPLE_U} ASC, doc_id ASC) AS rk
+      FROM documents) WHERE rk <= 20
+    """,
+)
+def q_stratified_sample_topn(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return smp.stratified_topn(docs, "lang", 20).select("doc_id", "lang")
 
 
 # ------------------------------------------------------- datapipe: text ops

@@ -53,6 +53,7 @@ HEADLINE_QUERIES = [
     "priority_dedup_window",
     "broadcast_dim_join",
     "dedup_minhash_lsh_pairs",
+    "dedup_components",
     "dedup_ngram_jaccard",
     "dedup_simhash_near_pairs",
     "ann_cosine_topk",

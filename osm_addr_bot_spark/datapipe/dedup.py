@@ -412,3 +412,74 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------- dedup clustering
+# Pairwise near-dup output (LSH / simhash / jaccard pairs) is not yet a
+# dedup decision: "keep one copy per duplicate GROUP" needs the
+# transitive closure of the pair relation. The reference's whitelist/
+# first-in-wins logic (duplicate_search.py) sidesteps this because its
+# universe is one changeset's elements; a 100-TB corpus dedup cannot.
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate groups from near-dup pairs: connected components by
+    iterative min-label propagation, all DataFrame ops.
+
+    Returns one row per document that appears in >= 1 pair:
+    ``(doc_id, component, is_rep)`` where ``component`` is the smallest
+    doc id reachable through the pair graph and ``is_rep`` marks the
+    canonical keeper (docs in no pair are implicitly their own
+    singleton groups — callers drop ``NOT is_rep`` rows only).
+
+    Scale shape: each sweep is one shuffle (min over neighbor labels,
+    map-side combined) + one broadcast-free join; sweeps needed =
+    graph diameter, and near-dup components are band-collision cliques
+    with tiny diameters (2-3 sweeps typical, bounded by ``max_iter``
+    with a loud failure rather than a silent partial merge).
+    Convergence is detected by the label-sum invariant: labels only
+    ever decrease, so sum(label) is strictly monotone until fixpoint —
+    one cheap agg per sweep instead of an old-vs-new join. Lineage is
+    truncated every sweep with localCheckpoint (iterative plans grow
+    exponentially otherwise; same pattern GraphFrames uses).
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("a").distinct().select("a", F.col("a").alias("lbl"))
+    prev_sum = None
+    for sweep in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("a").alias("b"), "lbl"), "b")
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "a", "left")
+            .select("a", F.least("lbl", F.coalesce("nbr", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        # labels only decrease, so an unchanged sum IS the fixpoint
+        # (sum is None exactly when the pair set is empty — also done)
+        if sweep > 0 and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} sweeps; "
+            "raise max_iter (component diameter exceeds the bound)"
+        )
+    return labels.select(
+        F.col("a").alias("doc_id"),
+        F.col("lbl").alias("component"),
+        (F.col("a") == F.col("lbl")).alias("is_rep"),
+    )

@@ -299,3 +299,83 @@ def test_audio_video_guard_fallback():
     payload = b"not-a-real-media-file"
     for kind in ("image", "audio", "video"):
         assert mm._decode_dims(payload, kind) == mm._fake_dims(payload)
+
+
+# ------------------------------------------------------- dedup clustering
+def test_connected_components_chains_and_groups(spark):
+    # two components: a 4-node PATH (diameter 3 — forces multi-sweep
+    # propagation, not just one-hop min) and a disjoint 2-clique;
+    # doc 99 appears in no pair and must be absent from the output
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r for r in dd.connected_components(pairs).collect()}
+    assert set(out) == {10, 20, 30, 40, 7, 8}
+    assert all(out[d]["component"] == 10 for d in (10, 20, 30, 40))
+    assert all(out[d]["component"] == 7 for d in (7, 8))
+    assert {d for d, r in out.items() if r["is_rep"]} == {10, 7}
+
+
+def test_connected_components_merges_through_shared_doc(spark):
+    # pairs arriving in "wrong" min order: (5,6) and (2,6) share 6, so
+    # all three collapse to component 2 even though 2 never pairs with 5
+    pairs = spark.createDataFrame([(5, 6), (2, 6)], "doc_a long, doc_b long")
+    rows = dd.connected_components(pairs).collect()
+    assert {r["doc_id"]: r["component"] for r in rows} == {2: 2, 5: 2, 6: 2}
+
+
+def test_connected_components_empty_and_maxiter(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dd.connected_components(empty).count() == 0
+    # a 5-node path has diameter 4: propagation cannot finish in 2 sweeps
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(path, max_iter=2)
+
+
+# ------------------------------------------------------------- sampling
+def test_sample_fraction_deterministic_and_salted(spark):
+    from osm_addr_bot_spark.datapipe import sampling as smp
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in smp.sample_fraction(docs, 0.25).collect()}
+    b = {r["doc_id"] for r in smp.sample_fraction(docs, 0.25).collect()}
+    assert a == b                       # same salt -> identical sample
+    # a larger fraction with the same salt STRICTLY CONTAINS the smaller
+    # one (nested samples — the property backfills rely on)
+    big = {r["doc_id"] for r in smp.sample_fraction(docs, 0.5).collect()}
+    assert a < big
+    other = {r["doc_id"] for r in smp.sample_fraction(docs, 0.25, salt="s2").collect()}
+    assert a != other                   # new salt -> independent draw
+    assert 0.15 < len(a) / 400 < 0.35   # near the nominal rate
+    with pytest.raises(ValueError, match="fraction"):
+        smp.sample_fraction(docs, 1.5)
+
+
+def test_split_assign_partitions_every_row_once(spark):
+    from osm_addr_bot_spark.datapipe import sampling as smp
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = smp.split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    assert len(out) == 300 and all(r["split"] in {"train", "val", "test"} for r in out)
+    counts = {s: sum(1 for r in out if r["split"] == s) for s in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    with pytest.raises(ValueError, match="sum to 1"):
+        smp.split_assign(docs, {"train": 0.8, "val": 0.1})
+
+
+def test_stratified_topn_exact_quota(spark):
+    from osm_addr_bot_spark.datapipe import sampling as smp
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = smp.stratified_topn(docs, "grp", 5, key="doc_id").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert len(got["big"]) == 5 and len(got["small"]) == 5
+    # a group smaller than the quota is returned whole
+    tiny = smp.stratified_topn(docs.filter("doc_id >= 97"), "grp", 5).collect()
+    assert len(tiny) == 3
