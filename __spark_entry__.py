@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from osm_addr_bot_spark.checks import fan_out_checks
 from osm_addr_bot_spark.checks.selectors import normalize_expr
 from osm_addr_bot_spark.datapipe import dedup as dd
+from osm_addr_bot_spark.datapipe import recipes as rcp
 from osm_addr_bot_spark.datapipe import sampling as smp
 from osm_addr_bot_spark.datapipe import similarity as sim
 from osm_addr_bot_spark.datapipe import text as tx
@@ -662,6 +663,47 @@ def q_dedup_components(spark, sf_dir):
     return dd.connected_components(pairs)
 
 
+# the composed recipe users actually run (VERDICT r4 #7): pairs ->
+# components -> keep one representative per group + all untouched docs
+# -> deterministic 50% sample. Same pair CTE as dedup_components; the
+# keep step is NOT IN (non-reps) and the sample is the salted-hash band.
+@_q(
+    "corpus_dedup_keep",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, unnest({_shingle3_sql()}) AS sh FROM documents),
+         sig AS (SELECT doc_id,
+                        {", ".join(e + " AS h%d" % i for i, e in enumerate(_MIN_EXPRS))}
+                 FROM sh GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, 0 AS band, md5(h0::varchar || ',' || h1::varchar || ',' || h2::varchar || ',' || h3::varchar) AS bucket FROM sig
+           UNION ALL
+           SELECT doc_id, 1 AS band, md5(h4::varchar || ',' || h5::varchar || ',' || h6::varchar || ',' || h7::varchar) AS bucket FROM sig),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+         nonrep AS (
+           SELECT a AS doc_id FROM walk GROUP BY a
+           HAVING a <> least(a, min(b)))
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)
+      AND {smp.unit_hash_sql("doc_id", "sample")} < 0.5
+    """,
+)
+def q_corpus_dedup_keep(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    kept = rcp.corpus_dedup_keep(
+        docs, num_hashes=_MINHASHES, bands=2, rows_per_band=4, fraction=0.5
+    )
+    return kept.select("doc_id", "lang")
+
+
 @_q(
     "dedup_ngram_jaccard",
     f"""
@@ -853,8 +895,14 @@ def q_ann_ivf_topk(spark, sf_dir):
 # Stored-bucket scale path (VERDICT r3 #1): the bucket/cell is written
 # ONCE as a partition column and queries read only the probed
 # partitions (partition pruning demonstrated in tests/test_ann_pruned).
-# The store is cached under /tmp per sf_dir — the write is itself part
-# of the contract (one pass, no shuffle), the reads are the hot path.
+# The store is cached under /tmp keyed on the DATASET IDENTITY — the
+# source table's file names/sizes/mtimes — not just the sf_dir path
+# (ADVICE r4): regenerating a world in place changes the files and so
+# the key, invalidating the store (stale buckets / centroid-vs-cell
+# mismatch impossible), and two distinct dirs can never collide the way
+# the old '/'->'_' path flattening could. The write is itself part of
+# the contract (one pass, no shuffle), the reads are the hot path.
+import hashlib as _hashlib  # noqa: E402
 import os as _os  # noqa: E402
 
 _LSH_PROBE_N = 2
@@ -862,7 +910,16 @@ _PROBE_BUCKETS = sim.lsh_probe_buckets(_QUERY_VEC, _PLANES, _LSH_PROBE_N)
 
 
 def _ann_store_loc(sf_dir: str, kind: str) -> str:
-    return "/tmp/osm_ann_store/" + sf_dir.strip("/").replace("/", "_") + "/" + kind
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    sig = _hashlib.md5(_os.path.abspath(src).encode())
+    try:
+        names = sorted(_os.listdir(src)) if _os.path.isdir(src) else [""]
+        for name in names:
+            st = _os.stat(_os.path.join(src, name) if name else src)
+            sig.update(f"|{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except FileNotFoundError:
+        pass
+    return "/tmp/osm_ann_store/" + sig.hexdigest() + "/" + kind
 
 
 @_q(

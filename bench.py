@@ -62,6 +62,24 @@ HEADLINE_QUERIES = [
 ]
 
 
+def foreign_spark_pids() -> list[int]:
+    """Pids of Spark/pytest processes that are not this run — a live
+    standalone cluster, executors, spark-submit, or a test session
+    competing for the box's cores and DRAM bandwidth. BENCH_r04 was
+    captured while a scaling cluster was running and every query read
+    ~40-50% slow (VERDICT r4 #2); the preflight makes that class of
+    artifact self-describing instead of silent."""
+    pat = (
+        r"deploy.master.Maste[r]|deploy.worker.Worke[r]|"
+        r"CoarseGrainedExecutorBacken[d]|SparkSubmi[t]|pytes[t]"
+    )
+    out = subprocess.run(["pgrep", "-f", pat], capture_output=True, text=True)
+    me, parent = os.getpid(), os.getppid()
+    return [
+        int(p) for p in out.stdout.split() if int(p) not in (me, parent)
+    ]
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -76,6 +94,14 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR, pipeline_only: bool = Fals
     from osm_addr_bot_spark.session import get_spark
 
     import __spark_entry__ as entrymod
+
+    contaminating = foreign_spark_pids()
+    if contaminating:
+        print(
+            f"bench preflight: live Spark/pytest pids {contaminating} — "
+            "this measurement is CONTAMINATED (stamped in the JSON)",
+            file=sys.stderr,
+        )
 
     sf = _sf_from_dir(sf_dir)
     world = os.environ.get("SPARK_GRAFT_WORLD")
@@ -119,6 +145,8 @@ def run_bench(cpus: int = CPUS, sf_dir: str = SF_DIR, pipeline_only: bool = Fals
         "queries": queries,
         "sf": sf,
         "cpus": cpus,
+        "contaminated": bool(contaminating),
+        "contaminating_pids": contaminating,
         "pipeline": {
             "changesets": n_changesets,
             "issues": n_issues,

@@ -10,4 +10,4 @@ DuckDB oracle can reproduce results bit-for-bit (Spark's hash() and
 DuckDB's hash() differ; md5 agrees everywhere).
 """
 
-from osm_addr_bot_spark.datapipe import dedup, similarity, text  # noqa: F401
+from osm_addr_bot_spark.datapipe import dedup, recipes, similarity, text  # noqa: F401

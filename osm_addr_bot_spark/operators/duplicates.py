@@ -184,6 +184,14 @@ def duplicates_stage(
             .otherwise(F.lit(0))
             .alias("_salt"),
             F.col("uid").alias("c_uid"),
+            # (doc_id, span_offset) ride along so the payload refetch
+            # re-selects EXACTLY the matched candidate rows — uid alone
+            # is not a row key when the same element appears in several
+            # documents, and a repeated uid would otherwise attach rows
+            # that never passed the match predicates (ADVICE r4). Two
+            # ints on the build side, which salting never replicates.
+            F.col("doc_id").alias("c_doc_id"),
+            F.col("span_offset").alias("c_span_offset"),
             F.col("element_type").alias("c_element_type"),
             F.col("lat").alias("c_lat"),
             F.col("lon").alias("c_lon"),
@@ -208,26 +216,33 @@ def duplicates_stage(
             <= F.lit(float(radius_m))
         )
         .filter(eq_quintuple)
-        .select(*_ISSUE_KEY, "c_uid")
+        .select(*_ISSUE_KEY, "c_uid", "c_doc_id", "c_span_offset")
     )
 
-    # one row per surviving issue carrying its matched uids — the only
-    # aggregate over the (small) link set
-    hits = links.groupBy(*_ISSUE_KEY).agg(F.collect_set("c_uid").alias("_dup_uids"))
+    # one row per surviving issue carrying its matched candidate row
+    # keys — the only aggregate over the (small) link set
+    hits = links.groupBy(*_ISSUE_KEY).agg(
+        F.collect_set(F.struct("c_uid", "c_doc_id", "c_span_offset")).alias("_dup_keys")
+    )
 
     # ---- refetch phase: issues that found >= 1 duplicate survive with
     # their FULL payload via one key join (hits is small -> AQE
     # broadcasts it; iss itself never re-shuffles then)
     iss_hit = iss.join(hits, _ISSUE_KEY, "inner")
-    surviving = iss_hit.drop("_dup_uids")
+    surviving = iss_hit.drop("_dup_keys")
 
     # duplicates inherit issue provenance + zeroed bbox (quirk Q4);
     # candidate payloads re-fetched from the persisted elements scan by
-    # uid — link side broadcast, so the wide candidate rows never cross
-    # an exchange
+    # the full row key (uid, doc_id, span_offset) — link side broadcast,
+    # so the wide candidate rows never cross an exchange
     prov_cols = [c for c in issue_cols if c not in _CAND_SOURCED]
     link_prov = iss_hit.select(
-        *prov_cols, F.explode("_dup_uids").alias("c_uid")
+        *prov_cols, F.explode("_dup_keys").alias("_k")
+    ).select(
+        *prov_cols,
+        F.col("_k.c_uid").alias("c_uid"),
+        F.col("_k.c_doc_id").alias("c_doc_id"),
+        F.col("_k.c_span_offset").alias("c_span_offset"),
     )
     if broadcast_refetch:
         link_prov = F.broadcast(link_prov)
@@ -243,7 +258,9 @@ def duplicates_stage(
         F.col("hex9").alias("c_hex9"),
         F.col("s2_15").alias("c_s2_15"),
     )
-    dup_rows = cand_payload.join(link_prov, "c_uid").select(
+    dup_rows = cand_payload.join(
+        link_prov, ["c_uid", "c_doc_id", "c_span_offset"]
+    ).select(
         *prov_cols,
         F.col("c_doc_id").alias("doc_id"),
         F.col("c_span_offset").alias("span_offset"),

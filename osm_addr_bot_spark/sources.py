@@ -52,16 +52,39 @@ def source_clock(data_dir: str) -> int | None:
     preferred over the commit clock, because late or future-dated rows
     can carry event timestamps LATER than the commit instant and a
     commit-clock watermark would place them outside every incremental
-    window (ADVICE r3). Without it, the commit clock is used under the
-    documented assumption that commit time bounds event time."""
+    window (ADVICE r3). The watermark is computed PER LIVE entry —
+    ``max_data_ts`` when the entry recorded one, else its commit clock
+    (assumption: commit time bounds event time for that batch) — and
+    maxed across entries whose data files are still referenced by the
+    latest snapshot. Mixing the two per entry matters (ADVICE r4): a
+    later append without the optional field must still advance the
+    watermark, and an overwritten snapshot's dead entries must not feed
+    it (a stale ``max_data_ts`` larger than the live data's would
+    over-state it; the old code did both wrong once ANY entry carried
+    the field)."""
     doc_dir = os.path.join(data_dir, "documents.parquet")
     try:
         log = _read_manifest(doc_dir)
         if log:
-            data_maxes = [s["max_data_ts"] for s in log if s.get("max_data_ts") is not None]
-            if data_maxes:
-                return int(max(data_maxes))
-            return int(log[-1]["timestamp_ms"]) // 1000
+            # entry liveness: each entry's file list is the FULL table at
+            # that snapshot (append includes prior files), so the data an
+            # entry introduced is its delta vs the previous entry; the
+            # entry is live iff that delta survives in the latest
+            # snapshot's file list (overwrites kill all prior deltas)
+            live_files = set(log[-1]["files"])
+            prev_files: set[str] = set()
+            watermark: int | None = None
+            for entry in log:
+                cur_files = set(entry["files"])
+                delta = cur_files - prev_files
+                prev_files = cur_files
+                if not delta or not delta <= live_files:
+                    continue  # empty commit or superseded by an overwrite
+                ts = entry.get("max_data_ts")
+                entry_wm = int(ts) if ts is not None else int(entry["timestamp_ms"]) // 1000
+                watermark = entry_wm if watermark is None else max(watermark, entry_wm)
+            if watermark is not None:
+                return watermark
     except FileNotFoundError:
         pass
     stats = table_stats(data_dir) or table_stats(doc_dir)

@@ -39,6 +39,20 @@ SPARK_HOME=${SPARK_HOME:-/opt/spark}
 MASTER_URL="spark://127.0.0.1:7077"
 LOCAL_DIR=/dev/shm/spark-local
 EXEC_CORES="${EXEC_CORES:-2}"   # 1 => the identical-1-core-worker pair (both sides inside the DRAM envelope)
+EXEC_MEM="${EXEC_MEM:-4g}"
+WORKER_MEM="${WORKER_MEM:-5g}"
+
+# Contamination preflight (VERDICT r4 #2): a timing pair is only
+# evidence if nothing else competes for the box's cores/DRAM. Refuse to
+# start while foreign Spark JVMs / pytest / bench runs are live
+# (SCALING_FORCE=1 overrides, and the JSON then records the pids).
+PREFLIGHT_PIDS="$(pgrep -f 'SparkSubmi[t]|CoarseGrainedExecutorBacken[d]|deploy.master.Maste[r]|deploy.worker.Worke[r]|bench\.p[y]|pytes[t]' || true)"
+if [[ -n "$PREFLIGHT_PIDS" && "${SCALING_FORCE:-0}" != "1" ]]; then
+  echo "preflight: live Spark/pytest processes would contaminate the pair:" >&2
+  ps -o pid,etime,args -p $PREFLIGHT_PIDS >&2 || true
+  echo "kill them or set SCALING_FORCE=1 (the JSON will be stamped contaminated)" >&2
+  exit 3
+fi
 SHUFFLE_PARTS="${SHUFFLE_PARTS:-8}"   # identical at BOTH levels; scale with world size
 AQE="${AQE:-true}"                    # identical at BOTH levels
 COALESCE="${COALESCE:-true}"          # AQE partition coalescing: identical KNOB at both
@@ -73,7 +87,7 @@ run_at() {
     SPARK_WORKER_DIR="/tmp/spark-worker-$i" \
     SPARK_IDENT_STRING="w$i" \
     "$SPARK_HOME/sbin/start-worker.sh" "$MASTER_URL" \
-      --cores "$EXEC_CORES" --memory 5g --webui-port 0 >/dev/null
+      --cores "$EXEC_CORES" --memory "$WORKER_MEM" --webui-port 0 >/dev/null
     sleep 1
   done
   sleep 3
@@ -88,7 +102,7 @@ run_at() {
     --conf spark.eventLog.enabled=true \
     --conf spark.eventLog.dir="$evdir" \
     --conf spark.executor.cores=$EXEC_CORES \
-    --conf spark.executor.memory=4g \
+    --conf spark.executor.memory=$EXEC_MEM \
     --conf spark.executor.extraJavaOptions="-XX:ActiveProcessorCount=$EXEC_CORES" \
     --conf spark.cores.max=$((EXEC_CORES * n_workers)) \
     --conf spark.locality.wait=0s \
@@ -109,17 +123,32 @@ T1=$(run_at 1)
 T4=$(run_at 4)
 cleanup
 
-python3 - "$T1" "$T4" "$WORLD" "$OUT" <<'EOF'
+# the label interpolates the ACTUAL config (VERDICT r4 #3: a hardcoded
+# "2-core/4g" string misdescribed the 1-core pairs)
+python3 - "$T1" "$T4" "$WORLD" "$OUT" \
+  "$EXEC_CORES" "$EXEC_MEM" "$WORKER_MEM" "${EVLOG_BASE:-/tmp/spark-events}" \
+  "$PREFLIGHT_PIDS" <<'EOF'
 import json, sys
 t1, t4, world, out = float(sys.argv[1]), float(sys.argv[2]), sys.argv[3], sys.argv[4]
+cores, emem, wmem, evbase, preflight = sys.argv[5:10]
 stats1 = json.loads(open("/tmp/scaling_cluster_1.out").read().strip().splitlines()[-1])
 stats4 = json.loads(open("/tmp/scaling_cluster_4.out").read().strip().splitlines()[-1])
 # use the job's own pipeline seconds (excludes cluster spin-up)
 s1, s4 = stats1["seconds"], stats4["seconds"]
 res = {
-    "mode": "standalone cluster, N vs 4N executors (2-core/4g each), "
-            "locality.wait=0, ActiveProcessorCount=2, identical plans",
+    "mode": (
+        f"standalone cluster, N vs 4N identical workers "
+        f"({cores}-core, executor {emem}, worker {wmem}), locality.wait=0, "
+        f"ActiveProcessorCount={cores}, identical plans, event logs under "
+        f"{evbase}/c{cores}w{{1,4}}"
+    ),
+    "exec_cores": int(cores),
+    "executor_memory": emem,
+    "worker_memory": wmem,
+    "eventlog_base": evbase,
     "world": world,
+    "contaminated": bool(preflight.split()),
+    "contaminating_pids": [int(p) for p in preflight.split()],
     "executors_1": {"seconds": s1, "wall_with_startup": round(t1, 1), "stats": stats1},
     "executors_4": {"seconds": s4, "wall_with_startup": round(t4, 1), "stats": stats4},
     "speedup": round(s1 / s4, 3),

@@ -22,7 +22,10 @@ export EXEC_CORES="${EXEC_CORES:-2}"
 PAIRS=()
 for i in $(seq 1 "$REPEATS"); do
   pair_out="/tmp/scaling_pair_${i}.json"
-  bash "$REPO/scripts/scaling_cluster.sh" "$WORLD" "$pair_out"
+  # per-pair event-log base so later pairs don't clobber earlier pairs'
+  # logs (the core-second / shuffle-byte receipts live there)
+  EVLOG_BASE="${EVLOG_ROOT:-/tmp/spark-events}/pair${i}" \
+    bash "$REPO/scripts/scaling_cluster.sh" "$WORLD" "$pair_out"
   PAIRS+=("$pair_out")
 done
 

@@ -379,3 +379,70 @@ def test_stratified_topn_exact_quota(spark):
     # a group smaller than the quota is returned whole
     tiny = smp.stratified_topn(docs.filter("doc_id >= 97"), "grp", 5).collect()
     assert len(tiny) == 3
+
+
+def test_connected_components_long_chain_sweeps_and_boundary(spark):
+    # a 10-node path (diameter 9, >2x a typical band-collision clique
+    # diameter): the min label travels one hop per sweep, so the last
+    # label change lands on sweep 9 and sweep 10 observes zero changes.
+    # Convergence exactly on the final allowed sweep must SUCCEED
+    # (ADVICE r4: the old sum-equality test needed an extra sweep and
+    # spuriously failed this case), and the changed-count detector is a
+    # bounded 0/1 sum — overflow-proof where sum(label) is not.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    out = dd.connected_components(path, max_iter=10, stats=stats)
+    rows = out.collect()
+    assert stats["sweeps"] == 10
+    assert all(r["component"] == 1 for r in rows)
+    assert {r["doc_id"] for r in rows if r["is_rep"]} == {1}
+    # one sweep short: the final sweep still changes labels -> loud fail
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(path, max_iter=9)
+
+
+def test_connected_components_empty_converges_immediately(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    stats = {}
+    assert dd.connected_components(empty, stats=stats).count() == 0
+    assert stats["sweeps"] == 1
+
+
+# ------------------------------------------------------- corpus recipe
+def test_corpus_dedup_keep_end_to_end(spark):
+    from osm_addr_bot_spark.datapipe import recipes as rcp
+
+    # docs 1/2/5 are one exact-dup group (identical after normalization
+    # -> identical signatures -> collide in every band, knob-independent);
+    # 4 and 6 touch nothing. Golden keep set: {1, 4, 6} -> 3 rows.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (4, "completely different content about spark engines"),
+        (5, "the  QUICK  brown fox jumps over the lazy dog "),
+        (6, "a third unrelated document mentioning parquet files"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    kept = rcp.corpus_dedup_keep(
+        docs, num_hashes=8, bands=2, rows_per_band=4, stats=stats
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 6]
+    assert kept.columns == docs.columns  # full payload survives the recipe
+    assert stats["dropped"] == 2 and stats["groups"] == 1
+    assert stats["sweeps"] >= 1
+
+    # the sampled form is a subset of the kept set and deterministic
+    s1 = {r["doc_id"] for r in rcp.corpus_dedup_keep(docs, fraction=0.6).collect()}
+    s2 = {r["doc_id"] for r in rcp.corpus_dedup_keep(docs, fraction=0.6).collect()}
+    assert s1 == s2 and s1 <= {1, 4, 6}
+
+
+def test_corpus_dedup_keep_rejects_inconsistent_knobs(spark):
+    from osm_addr_bot_spark.datapipe import recipes as rcp
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        rcp.corpus_dedup_keep(docs, num_hashes=8, bands=3, rows_per_band=4)

@@ -83,3 +83,45 @@ def test_manifest_commit_is_atomic_rename(snap_table):
 def test_snapshots_log(snap_table):
     log = sources.snapshots(snap_table)
     assert [s["timestamp_ms"] for s in log] == [1_000, 2_000]
+
+
+# --- source_clock watermark over the live snapshot entries (ADVICE r4) ---
+
+
+def _docs_table(tmp_path):
+    return str(tmp_path / "documents.parquet")
+
+
+def test_source_clock_mixes_data_ts_and_commit_clock_per_entry(spark, tmp_path):
+    # snapshot 1 records max_data_ts; the LATER append does not — its
+    # commit clock must still advance the watermark (the old max-over-
+    # data_maxes ignored the commit clock entirely once any entry had
+    # the field, silently freezing the incremental window)
+    loc = _docs_table(tmp_path)
+    a = spark.createDataFrame([(1, "x")], "id int, t string")
+    b = spark.createDataFrame([(2, "y")], "id int, t string")
+    sources.write_snapshot(a, loc, timestamp_ms=1_000_000, max_data_ts=1_000)
+    sources.write_snapshot(b, loc, timestamp_ms=2_000_000, mode="append")
+    assert sources.source_clock(str(tmp_path)) == 2_000  # commit clock of the append
+
+
+def test_source_clock_ignores_overwritten_entries(spark, tmp_path):
+    # an overwrite kills the prior entry's data; its stale (larger)
+    # max_data_ts must not leak into the watermark
+    loc = _docs_table(tmp_path)
+    a = spark.createDataFrame([(1, "x")], "id int, t string")
+    b = spark.createDataFrame([(2, "y")], "id int, t string")
+    sources.write_snapshot(a, loc, timestamp_ms=1_000_000, max_data_ts=5_000)
+    sources.write_snapshot(b, loc, timestamp_ms=2_000_000, max_data_ts=1_500)
+    assert sources.source_clock(str(tmp_path)) == 1_500
+
+
+def test_source_clock_appends_accumulate_max(spark, tmp_path):
+    # live appends: watermark is the max across their per-entry values,
+    # not just the latest entry's
+    loc = _docs_table(tmp_path)
+    a = spark.createDataFrame([(1, "x")], "id int, t string")
+    b = spark.createDataFrame([(2, "y")], "id int, t string")
+    sources.write_snapshot(a, loc, timestamp_ms=1_000_000, max_data_ts=9_000)
+    sources.write_snapshot(b, loc, timestamp_ms=2_000_000, mode="append", max_data_ts=1_200)
+    assert sources.source_clock(str(tmp_path)) == 9_000
