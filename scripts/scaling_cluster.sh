@@ -46,7 +46,19 @@ WORKER_MEM="${WORKER_MEM:-5g}"
 # evidence if nothing else competes for the box's cores/DRAM. Refuse to
 # start while foreign Spark JVMs / pytest / bench runs are live
 # (SCALING_FORCE=1 overrides, and the JSON then records the pids).
-PREFLIGHT_PIDS="$(pgrep -f 'SparkSubmi[t]|CoarseGrainedExecutorBacken[d]|deploy.master.Maste[r]|deploy.worker.Worke[r]|bench\.p[y]|pytes[t]' || true)"
+# Our own ancestor chain is exempt — bench.py --scaling-cluster invokes
+# this script and must not block on itself.
+ANCESTORS=" $$ "
+_p=$PPID
+while [[ "${_p:-0}" -gt 1 ]]; do
+  ANCESTORS="$ANCESTORS$_p "
+  _p=$(ps -o ppid= -p "$_p" 2>/dev/null | tr -d ' ')
+done
+PREFLIGHT_PIDS=""
+for _pid in $(pgrep -f 'SparkSubmi[t]|CoarseGrainedExecutorBacken[d]|deploy.master.Maste[r]|deploy.worker.Worke[r]|bench\.p[y]|pytes[t]' || true); do
+  [[ "$ANCESTORS" == *" $_pid "* ]] || PREFLIGHT_PIDS="$PREFLIGHT_PIDS $_pid"
+done
+PREFLIGHT_PIDS="${PREFLIGHT_PIDS# }"
 if [[ -n "$PREFLIGHT_PIDS" && "${SCALING_FORCE:-0}" != "1" ]]; then
   echo "preflight: live Spark/pytest processes would contaminate the pair:" >&2
   ps -o pid,etime,args -p $PREFLIGHT_PIDS >&2 || true
