@@ -20,6 +20,25 @@ import sys
 from collections import defaultdict
 
 
+def _open_log(path):
+    """Accept a plain event-log file, a .zstd one, or the eventlog_v2
+    rolling directory (picks the events_* file inside)."""
+    import glob
+    import io
+    import os
+    import subprocess
+
+    if os.path.isdir(path):
+        inner = sorted(glob.glob(os.path.join(path, "events_*")))
+        if not inner:
+            raise FileNotFoundError(f"no events_* file under {path}")
+        path = inner[-1]
+    if path.endswith(".zstd"):
+        proc = subprocess.Popen(["zstd", "-dc", path], stdout=subprocess.PIPE)
+        return io.TextIOWrapper(proc.stdout)
+    return open(path)
+
+
 def main() -> int:
     path = sys.argv[1]
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -27,7 +46,8 @@ def main() -> int:
     jobs = {}  # id -> [start, end]
     stages = {}  # (stage_id, attempt) -> dict
     tasks = []  # (launch, finish, stage_id)
-    for line in open(path):
+    agg = defaultdict(int)  # executor-metric totals across all tasks
+    for line in _open_log(path):
         try:
             e = json.loads(line)
         except json.JSONDecodeError:
@@ -49,6 +69,19 @@ def main() -> int:
         elif ev == "SparkListenerTaskEnd":
             ti = e["Task Info"]
             tasks.append((ti["Launch Time"], ti["Finish Time"], e["Stage ID"]))
+            tm = e.get("Task Metrics") or {}
+            sr = tm.get("Shuffle Read Metrics") or {}
+            sw = tm.get("Shuffle Write Metrics") or {}
+            inp = tm.get("Input Metrics") or {}
+            agg["run_ms"] += tm.get("Executor Run Time", 0)
+            agg["cpu_ns"] += tm.get("Executor CPU Time", 0)
+            agg["gc_ms"] += tm.get("JVM GC Time", 0)
+            agg["shuffle_read_b"] += sr.get("Remote Bytes Read", 0) + sr.get(
+                "Local Bytes Read", 0
+            )
+            agg["shuffle_write_b"] += sw.get("Shuffle Bytes Written", 0)
+            agg["input_b"] += inp.get("Bytes Read", 0)
+            agg["spill_disk_b"] += tm.get("Disk Bytes Spilled", 0)
 
     if not jobs:
         print("no jobs in log")
@@ -99,6 +132,16 @@ def main() -> int:
         print("largest driver gaps (s, at +s from start): "
               + ", ".join(f"{(e - s) / 1e3:.1f}@{(s - t0) / 1e3:.0f}" for s, e in worst))
     print(f"total task time={task_core_s:.0f} core-s  occupancy={task_core_s / (cores * wall):.2%} of {cores} cores x wall")
+    # executor-metric totals: the core-second / shuffle-byte receipts an
+    # N-vs-4N comparison is argued with (BENCH.md round-5 receipts)
+    print(
+        f"executor totals: run={agg['run_ms'] / 1e3:.0f} core-s  "
+        f"cpu={agg['cpu_ns'] / 1e9:.0f} core-s  gc={agg['gc_ms'] / 1e3:.0f} core-s  "
+        f"shuffle-read={agg['shuffle_read_b'] / 1e9:.2f} GB  "
+        f"shuffle-write={agg['shuffle_write_b'] / 1e9:.2f} GB  "
+        f"input={agg['input_b'] / 1e9:.2f} GB  "
+        f"disk-spill={agg['spill_disk_b'] / 1e9:.2f} GB"
+    )
     print("\nwall seconds at each concurrency level (capped at cores):")
     for lvl in sorted(low_par_ms):
         sec = low_par_ms[lvl] / 1e3
