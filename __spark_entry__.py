@@ -1098,6 +1098,86 @@ def q_text_fingerprints(spark, sf_dir):
     return tx.fingerprints(_read(spark, sf_dir, "documents"))
 
 
+@_q(
+    "text_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM t WHERE len(toks) >= 2),
+    pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(cnt)::bigint AS n_grams,
+           count(*)::bigint AS distinct_grams,
+           max(cnt)::bigint AS top_gram_cnt,
+           round(max(cnt) * 1.0 / sum(cnt), 4) AS top_gram_frac,
+           round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 4) AS dup_gram_frac,
+           round(count(*) * 1.0 / sum(cnt), 4) AS gram_ttr
+    FROM pg GROUP BY doc_id
+    """,
+)
+def q_text_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition filters: explode -> (doc,gram) agg -> (doc) agg
+    return tx.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+_CONTACT_SQL = (
+    "text || ' see https://ex.org/d/' || doc_id || ' or mail u' || doc_id || '@ex.org now'"
+)
+
+
+@_q(
+    "text_scrub_pii",
+    f"""
+    WITH t AS (SELECT doc_id, {_CONTACT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'https?://\\S+'))::bigint AS n_urls,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::bigint AS n_emails,
+           regexp_replace(regexp_replace(text, 'https?://\\S+', '<URL>', 'g'),
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS scrubbed
+    FROM t
+    """,
+)
+def q_text_scrub_pii(spark, sf_dir):
+    # the synthetic docs carry no links/emails, so the query grafts a
+    # deterministic contact suffix onto each row (the SAME expression as
+    # the oracle) so the scrub actually exercises both patterns
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org now"),
+        ).alias("text"),
+    )
+    return tx.scrub_pii(docs)
+
+
+@_q(
+    "text_tfidf_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, source, unnest(string_split({_NORM_SQL}, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    w AS (SELECT tf.source, tf.term, tf.tf, df.df,
+                 round(tf.tf * ln((SELECT count(*) + 1.0 FROM documents) / (df.df + 1.0)), 4) AS weight
+          FROM tf JOIN df USING (term)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY weight DESC, term ASC) AS trank
+          FROM w)
+    SELECT source, term, tf::bigint AS tf, df::bigint AS df, weight, trank::bigint AS trank
+    FROM r WHERE trank <= 5
+    """,
+)
+def q_text_tfidf_top_terms(spark, sf_dir):
+    out = tx.tfidf_top_terms(_read(spark, sf_dir, "documents"), k=5)
+    return out.withColumnRenamed("rank", "trank")
+
+
 _PAIR_COS_SQL = (
     "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
     " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"

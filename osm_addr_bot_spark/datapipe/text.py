@@ -111,3 +111,130 @@ def fingerprints(docs: DataFrame, text_col: str = "text", key: str = "doc_id", w
         md5_int(norm).alias("fingerprint"),
         md5_int(F.substring(norm, 1, window)).alias("head_fingerprint"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", key: str = "doc_id", gram_n: int = 2
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals over word n-grams
+    (default bigrams): (doc_id, n_grams, distinct_grams, top_gram_cnt,
+    top_gram_frac, dup_gram_frac, gram_ttr).
+
+    ``top_gram_frac`` = occurrences of the single most frequent n-gram /
+    total n-grams; ``dup_gram_frac`` = occurrences belonging to any
+    n-gram seen more than once / total; ``gram_ttr`` = distinct/total
+    (type-token ratio). High top/dup fractions flag boilerplate and
+    template spam — the standard pre-training repetition filters.
+
+    Scale shape: explode -> ONE shuffle keyed (doc, gram) with map-side
+    combine, then a second (doc)-keyed agg that AQE coalesces; linear in
+    corpus tokens, never O(doc_len^2) per row (no per-row pairwise
+    higher-order scan), so a 100 TB corpus pays exactly two exchanges.
+    Documents with fewer than ``gram_n`` tokens yield no n-grams and are
+    absent from the output (callers left-join if they need the row).
+    """
+    if gram_n < 1:
+        raise ValueError("gram_n must be >= 1")
+    toks = _tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= gram_n, F.sequence(F.lit(1), F.size(toks) - (gram_n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + off) for off in range(gram_n)]
+    )
+    grams = docs.select(
+        F.col(key).alias("doc_id"),
+        F.explode(F.transform(idx, gram)).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt")
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            n.alias("n_grams"),
+            F.count("*").alias("distinct_grams"),
+            F.max("cnt").alias("top_gram_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "distinct_grams",
+            "top_gram_cnt",
+            F.round(F.col("top_gram_cnt") / F.col("n_grams"), 4).alias("top_gram_frac"),
+            F.round(F.col("_dup") / F.col("n_grams"), 4).alias("dup_gram_frac"),
+            F.round(F.col("distinct_grams") / F.col("n_grams"), 4).alias("gram_ttr"),
+        )
+    )
+
+
+# PII scrubbing patterns — same RE2-safe literals on the Spark and the
+# DuckDB side so the oracle replays the masking bit-for-bit
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """(doc_id, n_urls, n_emails, scrubbed): count then mask URLs and
+    e-mail addresses — the minimal web-corpus PII/link scrub pass.
+
+    Counts are taken on the raw text; masking replaces URLs first (an
+    URL may embed ``user@host``), then e-mails. Pure JVM regexp
+    expressions — one narrow projection, no shuffle, no UDF; at 100 TB
+    this is a map-only stage fused into whatever scan precedes it.
+    """
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+    return docs.select(
+        F.col(key).alias("doc_id"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    key: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per ``group_col`` by tf-idf:
+    (source, term, tf, df, weight, rank). tf = term occurrences within
+    the group; df = number of documents containing the term; weight =
+    round(tf * ln((N+1)/(df+1)), 4) with N = corpus document count.
+    Deterministic ordering: weight desc, term asc.
+
+    Scale shape: one token explode feeds BOTH aggregation trees ——
+    per-(group, term) counts and per-term document frequency — each a
+    map-side-combined hash agg; df re-enters via a broadcastable join
+    (vocabulary << corpus); the final top-k is a window over the
+    (group)-partitioned weights. N is a scalar count (one job), the
+    same subquery the SQL oracle runs.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # scalar aggregate, mirrors the oracle's COUNT(*) subquery
+    toks = docs.select(
+        F.col(key).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "weight",
+            F.round(F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 4),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "term", "tf", "df", "weight", F.col("rank").cast("long").alias("rank"))
+    )

@@ -446,3 +446,65 @@ def test_corpus_dedup_keep_rejects_inconsistent_knobs(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="bands"):
         rcp.corpus_dedup_keep(docs, num_hashes=8, bands=3, rows_per_band=4)
+
+
+def test_repetition_stats_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "x y"), (3, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    # doc 1 bigrams: (a b)(b a)(a b)(b a)(a c) -> 5 total, 3 distinct, top=2
+    r1 = out[1]
+    assert r1["n_grams"] == 5 and r1["distinct_grams"] == 3 and r1["top_gram_cnt"] == 2
+    assert r1["top_gram_frac"] == pytest.approx(0.4)
+    assert r1["dup_gram_frac"] == pytest.approx(0.8)
+    assert r1["gram_ttr"] == pytest.approx(0.6)
+    # doc 2: a single bigram, nothing repeated
+    r2 = out[2]
+    assert r2["n_grams"] == 1 and r2["dup_gram_frac"] == 0.0 and r2["gram_ttr"] == 1.0
+    # doc 3 has < gram_n tokens -> no grams -> absent by contract
+    assert 3 not in out
+    # unigram mode degenerates to plain token stats (9 tokens, 4 distinct: doc 1+2+3 separate)
+    uni = {r["doc_id"]: r for r in tx.repetition_stats(df, gram_n=1).collect()}
+    assert uni[1]["n_grams"] == 6 and uni[1]["distinct_grams"] == 3
+    assert uni[3]["n_grams"] == 1
+    with pytest.raises(ValueError, match="gram_n"):
+        tx.repetition_stats(df, gram_n=0)
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "visit https://a.example.com/x?q=1 and http://b.org now"),
+            (2, "mail john.doe+spam@ex-ample.co.uk please"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.scrub_pii(df).collect()}
+    assert out[1]["n_urls"] == 2 and out[1]["n_emails"] == 0
+    assert out[1]["scrubbed"] == "visit <URL> and <URL> now"
+    assert out[2]["n_emails"] == 1
+    assert out[2]["scrubbed"] == "mail <EMAIL> please"
+    assert out[3]["n_urls"] == 0 and out[3]["scrubbed"] == "clean text only"
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "apple apple banana"),
+            (2, "s1", "apple cherry"),
+            (3, "s2", "banana banana banana"),
+            (4, "s2", "dog"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = tx.tfidf_top_terms(df, k=2).collect()
+    by_rank = {(r["source"], r["rank"]): r for r in out}
+    # N=4; df(apple)=2, df(banana)=2, df(cherry)=1, df(dog)=1
+    assert by_rank[("s1", 1)]["term"] == "apple"  # tf=3, weight 3*ln(5/3)
+    assert by_rank[("s1", 1)]["tf"] == 3 and by_rank[("s1", 1)]["df"] == 2
+    assert by_rank[("s1", 1)]["weight"] == pytest.approx(round(3 * math.log(5 / 3), 4))
+    assert by_rank[("s1", 2)]["term"] == "cherry"  # ln(5/2) beats banana's ln(5/3)
+    assert by_rank[("s2", 1)]["term"] == "banana" and by_rank[("s2", 2)]["term"] == "dog"
+    assert len(out) == 4
