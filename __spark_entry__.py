@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from osm_addr_bot_spark.checks import fan_out_checks
 from osm_addr_bot_spark.checks.selectors import normalize_expr
+from osm_addr_bot_spark.datapipe import analytics as olap
 from osm_addr_bot_spark.datapipe import dedup as dd
 from osm_addr_bot_spark.datapipe import recipes as rcp
 from osm_addr_bot_spark.datapipe import sampling as smp
@@ -1176,6 +1177,53 @@ def q_text_scrub_pii(spark, sf_dir):
 def q_text_tfidf_top_terms(spark, sf_dir):
     out = tx.tfidf_top_terms(_read(spark, sf_dir, "documents"), k=5)
     return out.withColumnRenamed("rank", "trank")
+
+
+# ------------------------------------------------------------- OLAP surface
+@_q(
+    "olap_group_percentiles",
+    """
+    SELECT source AS grp,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY source
+    """,
+)
+def q_olap_group_percentiles(spark, sf_dir):
+    # exact percentiles, linear interpolation (= ANSI quantile_cont)
+    return olap.group_percentiles(
+        _read(spark, sf_dir, "documents"), "source", "n_chars", (0.5, 0.9, 0.99)
+    )
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@_q(
+    "olap_pivot_lang_counts",
+    "SELECT source AS grp, "
+    + ", ".join(
+        f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END)::bigint AS {lg}" for lg in _LANGS
+    )
+    + " FROM documents GROUP BY source",
+)
+def q_olap_pivot_lang_counts(spark, sf_dir):
+    # pinned-values pivot: single aggregate, stable schema
+    return olap.pivot_counts(_read(spark, sf_dir, "documents"), "source", "lang", _LANGS)
+
+
+@_q(
+    "olap_rollup_source_lang",
+    """
+    SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+           grouping(source, lang)::bigint AS lvl,
+           count(*) AS n_rows, sum(n_chars)::bigint AS sum_n_chars
+    FROM documents GROUP BY ROLLUP(source, lang)
+    """,
+)
+def q_olap_rollup_source_lang(spark, sf_dir):
+    return olap.rollup_counts(_read(spark, sf_dir, "documents"), ("source", "lang"), "n_chars")
 
 
 _PAIR_COS_SQL = (

@@ -508,3 +508,42 @@ def test_tfidf_top_terms(spark):
     assert by_rank[("s1", 2)]["term"] == "cherry"  # ln(5/2) beats banana's ln(5/3)
     assert by_rank[("s2", 1)]["term"] == "banana" and by_rank[("s2", 2)]["term"] == "dog"
     assert len(out) == 4
+
+
+def test_group_percentiles_exact(spark):
+    from osm_addr_bot_spark.datapipe import analytics as olap
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3, 4)] + [("b", 10)], "g string, v long"
+    )
+    out = {r["grp"]: r for r in olap.group_percentiles(df, "g", "v", (0.5, 0.9)).collect()}
+    # linear interpolation at rank p*(n-1): [1,2,3,4] -> p50=2.5, p90=3.7
+    assert out["a"]["p50"] == 2.5 and out["a"]["p90"] == 3.7
+    assert out["b"]["p50"] == 10.0 and out["b"]["p90"] == 10.0
+
+
+def test_pivot_counts_pinned_values(spark):
+    from osm_addr_bot_spark.datapipe import analytics as olap
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")], "g string, c string"
+    )
+    out = {r["grp"]: r for r in olap.pivot_counts(df, "g", "c", ("x", "y", "miss")).collect()}
+    assert out["a"]["x"] == 2 and out["a"]["y"] == 1 and out["a"]["miss"] == 0
+    assert out["b"]["x"] == 0  # 'z' is outside the pinned list -> not a column
+    assert set(out) == {"a", "b"}
+
+
+def test_rollup_counts_levels(spark):
+    from osm_addr_bot_spark.datapipe import analytics as olap
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], "s string, l string, v long"
+    )
+    rows = olap.rollup_counts(df, ("s", "l"), "v").collect()
+    m = {(r["s"], r["l"], r["lvl"]): (r["n_rows"], r["sum_v"]) for r in rows}
+    assert m[("a", "x", 0)] == (1, 1)
+    assert m[("a", "ALL", 1)] == (2, 3)
+    assert m[("b", "ALL", 1)] == (1, 4)
+    assert m[("ALL", "ALL", 3)] == (3, 7)
+    assert len(rows) == 3 + 2 + 1  # leaves + per-source subtotals + grand total
