@@ -1179,6 +1179,25 @@ def q_text_tfidf_top_terms(spark, sf_dir):
     return out.withColumnRenamed("rank", "trank")
 
 
+@_q(
+    "text_winnow_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, length(norm) - 3),
+                                i -> {dd.md5_int_sql("substr(norm, i, 5)")}) AS hs
+          FROM t WHERE length(norm) >= 5)
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+                                               j -> list_min(list_slice(hs, j, j + 3))))) AS fp
+    FROM h WHERE len(hs) >= 4
+    """,
+)
+def q_text_winnow_fingerprints(spark, sf_dir):
+    # MOSS winnowing (k=5 char-grams, window=4): rolling-hash fingerprints
+    return tx.winnow_fingerprints(_read(spark, sf_dir, "documents"), k=5, window=4)
+
+
 # ------------------------------------------------------------- OLAP surface
 @_q(
     "olap_group_percentiles",

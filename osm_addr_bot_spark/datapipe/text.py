@@ -113,6 +113,52 @@ def fingerprints(docs: DataFrame, text_col: str = "text", key: str = "doc_id", w
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character ``k``-gram of
+    the normalized text, slide a ``window`` over the hash sequence, and
+    select the minimum hash of each window. Guarantees every exact
+    match of length >= window + k - 1 shares at least one selected
+    fingerprint, at ~2/(window+1) sampling density.
+
+    Output is the exploded distinct selection: (doc_id, fp) — directly
+    joinable for plagiarism-style overlap detection (group by fp, emit
+    doc pairs). All per-row array expressions (no shuffle, no UDF);
+    hashes are md5-derived so the SQL oracle replays them bit-for-bit.
+    Documents shorter than window + k - 1 normalized chars yield no
+    fingerprints and are absent.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    norm = normalize_text(F.col(text_col))
+    n_k = F.length(norm) - (k - 1)  # number of k-grams
+    hashes = F.when(
+        n_k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_k), lambda i: md5_int(F.substring(norm, i, k))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_w = F.size(hashes) - (window - 1)  # number of windows
+    fps = F.when(
+        n_w >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_w),
+                lambda j: F.array_min(F.slice(hashes, j, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        F.col(key).alias("doc_id"), F.explode(fps).alias("fp")
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", key: str = "doc_id", gram_n: int = 2
 ) -> DataFrame:

@@ -547,3 +547,25 @@ def test_rollup_counts_levels(spark):
     assert m[("b", "ALL", 1)] == (1, 4)
     assert m[("ALL", "ALL", 3)] == (3, 7)
     assert len(rows) == 3 + 2 + 1  # leaves + per-source subtotals + grand total
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnop"),
+            (2, "zz abcdefghijklmnop qq"),  # shares a >= w+k-1 char run with doc 1
+            (3, "completely-other-text!!"),
+            (4, "tiny"),  # shorter than the window+k-1 minimum -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    rows = tx.winnow_fingerprints(df, k=5, window=4).collect()
+    by: dict[int, set] = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 4 not in by
+    assert by[1] & by[2]  # the winnowing guarantee: shared run -> shared fingerprint
+    assert not (by[1] & by[3])
+    assert len(rows) == sum(len(v) for v in by.values())  # per-doc distinct
+    with pytest.raises(ValueError, match="k and window"):
+        tx.winnow_fingerprints(df, k=0)
