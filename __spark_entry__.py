@@ -1198,6 +1198,36 @@ def q_text_winnow_fingerprints(spark, sf_dir):
     return tx.winnow_fingerprints(_read(spark, sf_dir, "documents"), k=5, window=4)
 
 
+@_q(
+    "text_winnow_overlap_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, length(norm) - 3),
+                                i -> {dd.md5_int_sql("substr(norm, i, 5)")}) AS hs
+          FROM t WHERE length(norm) >= 5),
+    f AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+                                                     j -> list_min(list_slice(hs, j, j + 3))))) AS fp
+          FROM h WHERE len(hs) >= 4),
+    rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 10),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM f a JOIN f b USING (fp) JOIN rare USING (fp)
+          WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, count(*) AS shared_fps
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_text_winnow_overlap_pairs(spark, sf_dir):
+    # MOSS overlap report through the fingerprint inverted index; the
+    # word-soup corpus is pathologically Zipfian at 5-char grams, so the
+    # stop-fingerprint cap (df <= 10) is part of the pinned semantics on
+    # BOTH sides
+    return tx.winnow_overlap_pairs(
+        _read(spark, sf_dir, "documents"), min_shared=2, k=5, window=4, max_df=10
+    )
+
+
 # ------------------------------------------------------------- OLAP surface
 @_q(
     "olap_group_percentiles",

@@ -58,6 +58,8 @@ HEADLINE_QUERIES = [
     "dedup_simhash_near_pairs",
     "ann_cosine_topk",
     "text_quality_features",
+    "text_repetition_stats",
+    "text_winnow_fingerprints",
     "events_sessionize",
 ]
 

@@ -159,6 +159,40 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+    max_df: int | None = 10_000,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fps): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — the MOSS overlap report.
+
+    Same inverted-index shape as ``dedup.ngram_jaccard_pairs``: join
+    through the fingerprint postings list, never all-pairs. ``max_df``
+    drops stop-fingerprints (df above the cap) from the join — each
+    contributes a df² pair burst and ~no overlap signal; pairs whose
+    overlap was only stop-fingerprints are missed (conservative).
+    ``max_df=None`` is the exact path for known non-Zipfian corpora.
+    """
+    fps = winnow_fingerprints(docs, text_col=text_col, key=key, k=k, window=window)
+    joinable = fps
+    if max_df is not None:
+        rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        joinable = fps.join(rare.select("fp"), "fp", "left_semi")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", key: str = "doc_id", gram_n: int = 2
 ) -> DataFrame:

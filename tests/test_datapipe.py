@@ -569,3 +569,18 @@ def test_winnow_fingerprints_guarantee(spark):
     assert len(rows) == sum(len(v) for v in by.values())  # per-doc distinct
     with pytest.raises(ValueError, match="k and window"):
         tx.winnow_fingerprints(df, k=0)
+
+
+def test_winnow_overlap_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "xx the quick brown fox jumps over the lazy dog yy"),
+            (3, "unrelated corpus entry covering catalyst plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.winnow_overlap_pairs(df, min_shared=2, max_df=None).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["shared_fps"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
