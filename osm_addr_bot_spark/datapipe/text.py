@@ -136,26 +136,42 @@ def winnow_fingerprints(
     """
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
-    norm = normalize_text(F.col(text_col))
+    from pyspark.sql import Window as W
+
+    # Shape notes. (1) Every per-k-gram expression lives in a plain
+    # projection over EXPLODED rows, not inside a higher-order-function
+    # lambda: HOF bodies are interpreted (CodegenFallback) and anything
+    # they reference is re-inlined per element — the md5 pass belongs in
+    # whole-stage codegen. (2) normalized text is materialized as a
+    # column first so the regex runs once per row, not once per k-gram.
+    # (3) the sliding min is a SQL window (ROWS CURRENT..window-1
+    # FOLLOWING) over (doc, pos): one exchange keyed by doc — the same
+    # cost class as any per-doc aggregation at 100 TB.
+    normed = docs.select(
+        F.col(key).alias("doc_id"), normalize_text(F.col(text_col)).alias("_norm")
+    )
+    norm = F.col("_norm")
     n_k = F.length(norm) - (k - 1)  # number of k-grams
-    hashes = F.when(
-        n_k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_k), lambda i: md5_int(F.substring(norm, i, k))
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    n_w = F.size(hashes) - (window - 1)  # number of windows
-    fps = F.when(
-        n_w >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_w),
-                lambda j: F.array_min(F.slice(hashes, j, window)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(
-        F.col(key).alias("doc_id"), F.explode(fps).alias("fp")
+    grams = normed.filter(n_k >= window).select(
+        "doc_id",
+        (n_k - window).alias("_last_start"),  # last 0-based window start
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), n_k), lambda i: F.substring(norm, i, k))
+        ).alias("_pos", "_gram"),
+    )
+    hashed = grams.select(
+        "doc_id", "_last_start", "_pos", md5_int(F.col("_gram")).alias("_h")
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("_pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        hashed.withColumn("_fp", F.min("_h").over(win))
+        .filter(F.col("_pos") <= F.col("_last_start"))
+        .select("doc_id", F.col("_fp").alias("fp"))
+        .distinct()
     )
 
 

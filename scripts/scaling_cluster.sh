@@ -86,9 +86,19 @@ cleanup() {
   pkill -f 'deploy.worker.Worker' 2>/dev/null || true
   pkill -f 'deploy.master.Master' 2>/dev/null || true
   sleep 2
+  # pkill leaves the daemons' PID FILES behind; if a later unrelated
+  # process reuses a recorded pid, spark-daemon.sh concludes "worker
+  # running as process N" and SILENTLY refuses to start that worker —
+  # the round-5 pair-1 T4 ran with 3 of 4 workers exactly this way
+  # (master log: 3 'Registering worker' lines, w1 absent). Remove them.
+  rm -f /tmp/spark-w[0-9]*-org.apache.spark.deploy.worker.Worker-*.pid \
+        /tmp/spark-*-org.apache.spark.deploy.master.Master-*.pid \
+        /tmp/spark-*-org.apache.spark.deploy.worker.Worker-*.pid 2>/dev/null || true
 }
 trap cleanup EXIT
 cleanup
+
+MASTER_LOG_GLOB="$SPARK_HOME/logs/spark-*org.apache.spark.deploy.master.Master-1-*.out"
 
 run_at() {
   local n_workers="$1"
@@ -102,6 +112,21 @@ run_at() {
       --cores "$EXEC_CORES" --memory "$WORKER_MEM" --webui-port 0 >/dev/null
     sleep 1
   done
+  # registration gate: the pair is only N-vs-4N evidence if BOTH levels
+  # run at their labeled width — wait until the master has registered
+  # exactly n_workers workers, and fail LOUDLY instead of measuring a
+  # silently narrower cluster.
+  local deadline=$((SECONDS + 60)) registered=0
+  while (( SECONDS < deadline )); do
+    registered=$(grep -hc 'Registering worker' $MASTER_LOG_GLOB 2>/dev/null | head -1 || echo 0)
+    (( registered >= n_workers )) && break
+    sleep 2
+  done
+  if (( registered < n_workers )); then
+    echo "FATAL: only $registered/$n_workers workers registered with the master" >&2
+    grep -h 'Registering worker' $MASTER_LOG_GLOB >&2 || true
+    exit 4
+  fi
   sleep 3
   local t0 t1
   local evdir="${EVLOG_BASE:-/tmp/spark-events}/c${EXEC_CORES}w${n_workers}"
@@ -128,8 +153,49 @@ run_at() {
     --data-dir "$WORLD" --start-ts 1700000000 --end-ts 1700028800 \
     > "/tmp/scaling_cluster_${n_workers}.out" 2>"/tmp/scaling_cluster_${n_workers}.err"
   t1=$(python3 -c 'import time; print(time.time())')
+  # record how many executors the master actually launched for this
+  # app — the pair JSON self-describes its true width
+  grep -hc 'Launching executor' $MASTER_LOG_GLOB 2>/dev/null | head -1 \
+    > "/tmp/scaling_grants_${n_workers}" || echo 0 > "/tmp/scaling_grants_${n_workers}"
   python3 -c "print($t1 - $t0)"
 }
+
+# ONLY_LEVEL=<n_workers> runs a single level (e.g. a clean 4-worker
+# re-measurement after a harness fix) and writes a single-level JSON.
+if [[ -n "${ONLY_LEVEL:-}" ]]; then
+  TN=$(run_at "$ONLY_LEVEL")
+  cleanup
+  python3 - "$ONLY_LEVEL" "$TN" "$WORLD" "$OUT" \
+    "$EXEC_CORES" "$EXEC_MEM" "$WORKER_MEM" "${EVLOG_BASE:-/tmp/spark-events}" \
+    "$PREFLIGHT_PIDS" <<'EOF'
+import json, sys
+lvl, tn, world, out = int(sys.argv[1]), float(sys.argv[2]), sys.argv[3], sys.argv[4]
+cores, emem, wmem, evbase, preflight = sys.argv[5:10]
+stats = json.loads(open(f"/tmp/scaling_cluster_{lvl}.out").read().strip().splitlines()[-1])
+res = {
+    "mode": (
+        f"standalone cluster, SINGLE level: {lvl} worker(s) x {cores}-core "
+        f"(executor {emem}, worker {wmem}), locality.wait=0, "
+        f"ActiveProcessorCount={cores}, event logs under {evbase}/c{cores}w{lvl}"
+    ),
+    "single_level": lvl,
+    "exec_cores": int(cores),
+    "executor_memory": emem,
+    "worker_memory": wmem,
+    "eventlog_base": evbase,
+    "world": world,
+    "contaminated": bool(preflight.split()),
+    "contaminating_pids": [int(p) for p in preflight.split()],
+    "seconds": stats["seconds"],
+    "wall_with_startup": round(tn, 1),
+    "stats": stats,
+    "executors_granted": int(open(f"/tmp/scaling_grants_{lvl}").read().strip() or 0),
+}
+print(json.dumps(res))
+open(out, "w").write(json.dumps(res, indent=2))
+EOF
+  exit 0
+fi
 
 T1=$(run_at 1)
 T4=$(run_at 4)
@@ -161,8 +227,10 @@ res = {
     "world": world,
     "contaminated": bool(preflight.split()),
     "contaminating_pids": [int(p) for p in preflight.split()],
-    "executors_1": {"seconds": s1, "wall_with_startup": round(t1, 1), "stats": stats1},
-    "executors_4": {"seconds": s4, "wall_with_startup": round(t4, 1), "stats": stats4},
+    "executors_1": {"seconds": s1, "wall_with_startup": round(t1, 1), "stats": stats1,
+                    "executors_granted": int(open("/tmp/scaling_grants_1").read().strip() or 0)},
+    "executors_4": {"seconds": s4, "wall_with_startup": round(t4, 1), "stats": stats4,
+                    "executors_granted": int(open("/tmp/scaling_grants_4").read().strip() or 0)},
     "speedup": round(s1 / s4, 3),
     "efficiency_n_to_4n": round((s1 / s4) / 4.0, 3),
 }
