@@ -174,3 +174,66 @@ def test_native_kring_expr_matches_numpy(spark):
         want = hg.kring(cells, k)
         for g, w in zip(got, want):
             assert sorted(g) == sorted(w), f"k={k}"
+
+
+def test_radius_prefilter_never_drops_a_true_match(spark):
+    """radius_prefilter is a NECESSARY condition for haversine <= r:
+    brute-force random pairs (global latitudes, antimeridian wraps,
+    near-threshold perturbations) — no pair within r may fail the
+    prefilter. False positives are fine (they just pay one haversine)."""
+    from osm_addr_bot_spark.geo.haversine import radius_prefilter
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    lat1 = rng.uniform(-84.0, 84.0, n)
+    lon1 = rng.uniform(-180.0, 180.0, n)
+    # mix: global random partners, tight perturbations (likely matches),
+    # and antimeridian-straddling partners
+    lat2 = np.where(
+        np.arange(n) % 3 == 0,
+        rng.uniform(-84.0, 84.0, n),
+        np.clip(lat1 + rng.uniform(-0.02, 0.02, n), -84.0, 84.0),
+    )
+    lon2 = np.where(
+        np.arange(n) % 5 == 0,
+        ((lon1 + 180.0 + rng.uniform(-0.05, 0.05, n)) + 180.0) % 360.0 - 180.0,
+        lon1 + rng.uniform(-0.03, 0.03, n),
+    )
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d)) for a, b, c, d in zip(lat1, lon1, lat2, lon2)],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    for r in (100.0, 1000.0, 3000.0):
+        bad = df.filter(
+            (
+                haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+                <= F.lit(r)
+            )
+            & ~radius_prefilter(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"), r
+            )
+        ).count()
+        assert bad == 0, f"prefilter dropped {bad} true matches at r={r}"
+
+
+def test_radius_prefilter_prunes_far_pairs(spark):
+    """Sanity that it actually prunes: a pair 2+ km apart fails the
+    100 m prefilter both with inline and precomputed cos columns."""
+    from osm_addr_bot_spark.geo.haversine import radius_prefilter
+
+    df = spark.createDataFrame(
+        [(52.0, 21.0, 52.02, 21.0), (52.0, 21.0, 52.0, 21.03)],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    ).withColumn("c1", F.cos(F.radians(F.col("lat1")))).withColumn(
+        "c2", F.cos(F.radians(F.col("lat2")))
+    )
+    inline = df.filter(
+        radius_prefilter(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"), 100.0)
+    ).count()
+    precomp = df.filter(
+        radius_prefilter(
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"), 100.0,
+            F.col("c1"), F.col("c2"),
+        )
+    ).count()
+    assert inline == 0 and precomp == 0
