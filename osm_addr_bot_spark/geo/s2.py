@@ -135,13 +135,135 @@ def parent_id(cell: np.ndarray, level: int) -> np.ndarray:
 
 
 def s2_cell_udf(level: int = 15):
-    """pandas UDF (lat, lon) -> S2 cell id (LongType)."""
+    """pandas UDF (lat, lon) -> S2 cell id (LongType).
+
+    Reference implementation for tests and numpy batch pre-indexing;
+    hot paths use ``with_s2_cell`` (native expressions, no Python
+    workers — the r6 event-log audit measured ~82 core-s of Python
+    worker start/init against <1 s of actual S2 math in the sf0.1
+    parse stage, plus 3 serial 3-5 s single-task broadcast builds
+    paying the same worker spawn)."""
 
     @F.pandas_udf(T.LongType())
     def _udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
         return pd.Series(cell_id(lat.to_numpy(), lon.to_numpy(), level))
 
     return _udf
+
+
+def with_s2_cell(df, lat: str = "lat", lon: str = "lon", level: int = 15, out: str = "s2_15"):
+    """Append the S2 cell id as a NATIVE column — the same table-driven
+    Hilbert encode as ``cell_id``, expressed as whole-stage-codegen
+    Spark SQL (guide §4: the S2 math is trivial next to the JVM->Python
+    boundary it used to pay; removing the ArrowEvalPython node removes
+    the per-executor Python worker fleet from the parse stage).
+
+    Exactness: mirrors the numpy path operation for operation — IEEE
+    doubles through the same projection formulas, then pure integer
+    bit arithmetic (two's-complement shifts/masks equal uint64 bit
+    patterns; faces 4-5 wrap negative identically). Property-tested
+    equal to ``cell_id`` on random global points and the frozen golden
+    vectors (tests/test_geo.py).
+
+    Shape: x/y/z, face and i/j are materialized columns (four
+    withColumns batches — a per-sweep column chain was measured to add
+    ~5 s of DRIVER plan-analysis time per pipeline build, since every
+    DataFrame step re-analyzes the whole growing plan); the 8-sweep
+    Hilbert encode itself is ONE SQL ``aggregate()`` over
+    sequence(7,0,-1) threading (n, bits) through a struct accumulator —
+    the per-nibble lookup chain would otherwise nest exponentially
+    (bits_k feeds both bits_{k+1} and the position accumulator). The
+    lambda is interpreted, but it is 8 iterations of integer ops per
+    row; the 4096-entry Hilbert table is a constant-folded
+    array<bigint> literal (bigint, NOT int: JVM int shifts mask the
+    distance mod 32, which silently corrupts the k>=4 nibbles).
+    """
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    c = F.col
+
+    def tmp(name):  # collision-proof scratch names
+        return f"_s2t_{name}"
+
+    scratch: list[str] = []
+
+    def add(frame, **cols):
+        scratch.extend(cols.keys())
+        return frame.withColumns({k: v for k, v in cols.items()})
+
+    la, lo = c(lat), c(lon)
+    df = add(df, **{tmp("cphi"): F.cos(F.radians(la))})
+    df = add(
+        df,
+        **{
+            tmp("x"): c(tmp("cphi")) * F.cos(F.radians(lo)),
+            tmp("y"): c(tmp("cphi")) * F.sin(F.radians(lo)),
+            tmp("z"): F.sin(F.radians(la)),
+        },
+    )
+    x, y, z = c(tmp("x")), c(tmp("y")), c(tmp("z"))
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    f0 = F.when(ax >= ay, F.when(ax >= az, 0).otherwise(2)).otherwise(
+        F.when(ay >= az, 1).otherwise(2)
+    )
+    comp = F.when(f0 == 0, x).when(f0 == 1, y).otherwise(z)
+    df = add(df, **{tmp("face"): F.when(comp < 0, f0 + 3).otherwise(f0).cast("long")})
+    face = c(tmp("face"))
+    # u,v per face (published mapping, same branch table as _xyz_to_face_uv)
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, -x / y)
+        .when(face == 2, -x / z)
+        .when(face == 3, z / x)
+        .when(face == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, z / y)
+        .when(face == 2, -y / z)
+        .when(face == 3, y / x)
+        .when(face == 4, -x / y)
+        .otherwise(-x / z)
+    )
+
+    def st(w):  # quadratic projection, branches unevaluated when unchosen
+        return F.when(
+            w >= 0, 0.5 * F.sqrt(1 + 3 * w)
+        ).otherwise(1 - 0.5 * F.sqrt(1 - 3 * w))
+
+    def ij(w):
+        r = F.floor(w * F.lit(float(1 << MAX_LEVEL)))
+        return F.greatest(F.lit(0).cast("long"), F.least(r, F.lit((1 << MAX_LEVEL) - 1)))
+
+    df = add(df, **{tmp("i"): ij(st(u)), tmp("j"): ij(st(v))})
+
+    # table-driven Hilbert encode: one aggregate() expression threading
+    # (n, bits) through 8 sweeps of 4 ij-bits each (see docstring)
+    table_sql = (
+        "cast(array(" + ",".join(str(int(vv)) for vv in _LOOKUP_POS) + ") as array<bigint>)"
+    )
+    fc, ic, jc = tmp("face"), tmp("i"), tmp("j")
+    mask = (1 << _LOOKUP_BITS) - 1
+    idx_sql = (
+        f"cast(acc.b + shiftleft(shiftright({ic}, k * {_LOOKUP_BITS}) & {mask}, "
+        f"{_LOOKUP_BITS + 2}) + shiftleft(shiftright({jc}, k * {_LOOKUP_BITS}) & {mask}, 2) "
+        f"+ 1 as int)"
+    )
+    lk_sql = f"element_at({table_sql}, {idx_sql})"
+    agg_sql = (
+        f"aggregate(sequence(7, 0, -1), "
+        f"struct(shiftleft({fc}, 60) as n, {fc} & cast(1 as bigint) as b), "
+        f"(acc, k) -> struct("
+        f"acc.n | shiftleft(shiftright({lk_sql}, 2), k * {2 * _LOOKUP_BITS}) as n, "
+        f"{lk_sql} & cast({_SWAP_MASK | _INVERT_MASK} as bigint) as b))"
+    )
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    snapped_sql = (
+        f"((shiftleft(({agg_sql}).n, 1) | cast(1 as bigint)) "
+        f"& cast({-lsb} as bigint)) | cast({lsb} as bigint)"
+    )
+    return df.withColumn(out, F.expr(snapped_sql)).drop(*sorted(set(scratch)))
 
 
 def s2_parent(cell: Column, level: int) -> Column:

@@ -27,7 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from osm_addr_bot_spark.config import UID_OFFSET
-from osm_addr_bot_spark.geo import haversine_m, s2_cell_udf
+from osm_addr_bot_spark.geo import haversine_m
+from osm_addr_bot_spark.geo.s2 import with_s2_cell
 from osm_addr_bot_spark.geo.hexgrid import cell_expr
 from osm_addr_bot_spark.schemas import ELEMENT_JSON, MEDIA_JSON
 
@@ -119,12 +120,13 @@ def parse_elements(
         }
     )
     if with_index:
-        e = e.withColumns(
-            {
-                "hex9": cell_expr(F.col("lat"), F.col("lon"), 9),  # native, codegen'd
-                "s2_15": s2_cell_udf(15)(F.col("lat"), F.col("lon")),
-            }
-        )
+        # both index columns are native codegen'd expressions — r6
+        # removed the last ArrowEvalPython from the parse path (the S2
+        # pandas UDF cost ~82 core-s of Python worker start/init per
+        # sf0.1 run against <1 s of actual S2 math; with_s2_cell is
+        # property-tested bit-equal to the numpy reference)
+        e = e.withColumn("hex9", cell_expr(F.col("lat"), F.col("lon"), 9))
+        e = with_s2_cell(e, level=15, out="s2_15")
     return e
 
 

@@ -237,3 +237,22 @@ def test_radius_prefilter_prunes_far_pairs(spark):
         )
     ).count()
     assert inline == 0 and precomp == 0
+
+
+def test_native_s2_cell_matches_numpy(spark):
+    """with_s2_cell (native expressions) must equal the numpy reference
+    bit-for-bit — global latitudes, all faces, several levels."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    lat = rng.uniform(-89.9, 89.9, n)
+    lon = rng.uniform(-180.0, 180.0, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lat, lon)], "lat double, lon double"
+    )
+    for level in (10, 15, 30):
+        got = [
+            r["s2"]
+            for r in s2.with_s2_cell(df, level=level, out="s2").select("s2").collect()
+        ]
+        want = list(s2.cell_id(lat, lon, level))
+        assert got == want, f"level={level}"
