@@ -192,12 +192,15 @@ def with_s2_cell(df, lat: str = "lat", lon: str = "lon", level: int = 15, out: s
         return frame.withColumns({k: v for k, v in cols.items()})
 
     la, lo = c(lat), c(lon)
-    df = add(df, **{tmp("cphi"): F.cos(F.radians(la))})
+    # cos(phi) is inlined into x and y in ONE batch (codegen CSE
+    # de-duplicates it inside the projection; a separate withColumns
+    # step would cost another full driver-side analysis pass)
+    cphi = F.cos(F.radians(la))
     df = add(
         df,
         **{
-            tmp("x"): c(tmp("cphi")) * F.cos(F.radians(lo)),
-            tmp("y"): c(tmp("cphi")) * F.sin(F.radians(lo)),
+            tmp("x"): cphi * F.cos(F.radians(lo)),
+            tmp("y"): cphi * F.sin(F.radians(lo)),
             tmp("z"): F.sin(F.radians(la)),
         },
     )

@@ -50,6 +50,7 @@ from osm_addr_bot_spark.config import (
     WHITELIST_TAGS,
 )
 from osm_addr_bot_spark.geo import haversine_m
+from osm_addr_bot_spark.geo.haversine import radius_prefilter
 from osm_addr_bot_spark.geo.hexgrid import cover_k, kring_expr
 
 
@@ -121,13 +122,17 @@ def duplicates_stage(
     the strategy."""
     issue_cols = issues.columns
 
-    iss = issues.filter(skip_large_expr()).filter(whitelist_expr(F.col("tags")))
+    # single fused filters: every extra DataFrame op costs a full
+    # driver-side analysis pass over the (large) upstream plan (~40 ms
+    # each at the pipeline's tail, measured r6)
+    iss = issues.filter(skip_large_expr() & whitelist_expr(F.col("tags")))
 
     k = cover_k(radius_m, 9)
 
     cand_base = elements.filter(
         F.map_contains_key(F.col("tags"), F.lit("addr:housenumber"))
-    ).filter(whitelist_expr(F.col("tags")))
+        & whitelist_expr(F.col("tags"))
+    )
 
     def _eq_vals(tags: Column, prefix: str) -> list[Column]:
         # the EQUAL_TAGS quintuple, pre-extracted so the exchange ships
@@ -158,6 +163,10 @@ def duplicates_stage(
     iss_probe = (
         iss.select(
             *_ISSUE_KEY, "element_type", "lat", "lon", "hex9",
+            # one cos per probe row so the bbox prefilter below runs
+            # without trig per candidate pair (8 bytes on the exchange
+            # against skipping the haversine for out-of-box pairs)
+            F.cos(F.radians(F.col("lat"))).alias("_coslat"),
             *_eq_vals(F.col("tags"), "_eq"),
         )
         .withColumn("_cell", F.explode(kring_expr(F.col("hex9"), k)))
@@ -195,6 +204,7 @@ def duplicates_stage(
             F.col("element_type").alias("c_element_type"),
             F.col("lat").alias("c_lat"),
             F.col("lon").alias("c_lon"),
+            F.cos(F.radians(F.col("lat"))).alias("c_coslat"),
             *_eq_vals(F.col("tags"), "_ceq"),
         )
     )
@@ -207,15 +217,26 @@ def duplicates_stage(
     for i in range(len(EQUAL_TAGS)):
         eq_quintuple = eq_quintuple & F.col(f"_eq{i}").eqNullSafe(F.col(f"_ceq{i}"))
 
-    links = (
-        iss_probe.join(cand, ["_cell", "_salt"])
-        .filter(opposite_family)
-        .filter(F.col("c_uid") != F.col("uid"))
-        .filter(
+    # ONE fused refine filter, cheap predicates first (codegen
+    # short-circuits a conjunction left to right): family/uid tests,
+    # then the trig-free bbox prefilter, and only survivors pay the
+    # asin/sqrt haversine and the null-safe quintuple
+    refine = (
+        opposite_family
+        & (F.col("c_uid") != F.col("uid"))
+        & radius_prefilter(
+            F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"),
+            float(radius_m), F.col("_coslat"), F.col("c_coslat"),
+        )
+        & (
             haversine_m(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
             <= F.lit(float(radius_m))
         )
-        .filter(eq_quintuple)
+        & eq_quintuple
+    )
+    links = (
+        iss_probe.join(cand, ["_cell", "_salt"])
+        .filter(refine)
         .select(*_ISSUE_KEY, "c_uid", "c_doc_id", "c_span_offset")
     )
 

@@ -108,24 +108,27 @@ def parse_elements(
     if end_ts is not None:
         e = e.filter(F.col("timestamp") <= F.lit(end_ts))
 
-    e = e.withColumns(
-        {
-            "bb_width_m": haversine_m(
-                F.col("minlat"), F.col("minlon"), F.col("minlat"), F.col("maxlon")
-            ),
-            "bb_height_m": haversine_m(
-                F.col("minlat"), F.col("minlon"), F.col("maxlat"), F.col("minlon")
-            ),
-            "uid": uid_expr(F.col("element_type"), F.col("element_id")),
-        }
-    )
+    derived = {
+        "bb_width_m": haversine_m(
+            F.col("minlat"), F.col("minlon"), F.col("minlat"), F.col("maxlon")
+        ),
+        "bb_height_m": haversine_m(
+            F.col("minlat"), F.col("minlon"), F.col("maxlat"), F.col("minlon")
+        ),
+        "uid": uid_expr(F.col("element_type"), F.col("element_id")),
+    }
     if with_index:
-        # both index columns are native codegen'd expressions — r6
-        # removed the last ArrowEvalPython from the parse path (the S2
-        # pandas UDF cost ~82 core-s of Python worker start/init per
-        # sf0.1 run against <1 s of actual S2 math; with_s2_cell is
-        # property-tested bit-equal to the numpy reference)
-        e = e.withColumn("hex9", cell_expr(F.col("lat"), F.col("lon"), 9))
+        # hex9 rides in the same projection as the bbox/uid columns
+        # (one withColumns batch — every extra DataFrame op re-analyzes
+        # the whole plan on the driver); s2_15 is the other native index
+        # column — r6 removed the last ArrowEvalPython from the parse
+        # path (the S2 pandas UDF cost ~82 core-s of Python worker
+        # start/init per sf0.1 run against <1 s of actual S2 math;
+        # with_s2_cell is property-tested bit-equal to the numpy
+        # reference)
+        derived["hex9"] = cell_expr(F.col("lat"), F.col("lon"), 9)
+    e = e.withColumns(derived)
+    if with_index:
         e = with_s2_cell(e, level=15, out="s2_15")
     return e
 

@@ -48,16 +48,43 @@ PERSIST_LEVEL = StorageLevel.DISK_ONLY
 
 
 def load_tables(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
-    names = (
-        "documents",
-        "changesets",
-        "users",
-        "polygons",
-        "streets",
-        "place_nodes",
-        "elements_history",
-    )
-    return {n: spark.read.parquet(f"{data_dir}/{n}.parquet") for n in names}
+    """Read the seven world tables with their pinned DDL schemas
+    (schemas.TABLE_DDL) — skipping parquet schema inference saves a
+    footer read + JVM round trip per table of driver-serial time
+    (~0.9 s/run measured r6); the DDLs are guarded against datagen
+    drift by tests/test_datagen_guards.py. Parquet is read by column
+    NAME, so a world with reordered or extra columns still reads
+    correctly; a world with incompatible types would fail loudly at
+    scan time, same as any schema mismatch."""
+    from osm_addr_bot_spark.schemas import TABLE_DDL
+
+    return {
+        n: spark.read.schema(ddl).parquet(f"{data_dir}/{n}.parquet")
+        for n, ddl in TABLE_DDL.items()
+    }
+
+
+def _estimated_scan_partitions(spark: SparkSession, table_path: str) -> int | None:
+    """Scan-task estimate for a LOCAL parquet dir from file sizes and
+    spark.sql.files.maxPartitionBytes (Spark's split rule, ignoring the
+    4 MB open-cost packing — fine for a bigger/smaller-than-parallelism
+    decision). None when the path isn't a local directory."""
+    import math
+    import os
+
+    if not os.path.isdir(table_path):
+        return None
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")).lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    mpb = int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+    sizes = [
+        e.stat().st_size
+        for e in os.scandir(table_path)
+        if e.is_file() and e.name.endswith(".parquet")
+    ]
+    if not sizes:
+        return None
+    return sum(max(1, math.ceil(s / mpb)) for s in sizes)
 
 
 def apply_post_stages(
@@ -142,10 +169,16 @@ def run_pipeline(
     # stage or it runs on <= #splits tasks. A multi-file table (what a
     # real 100 TB table looks like, and what datagen now writes) already
     # scans wide — skip the shuffle entirely rather than paying a full
-    # round-robin of the raw span data.
+    # round-robin of the raw span data. The split-count estimate comes
+    # from a filesystem stat for local dirs (df.rdd.getNumPartitions()
+    # costs a full plan-to-RDD conversion on the driver, ~0.2 s/run);
+    # non-local paths keep the exact probe.
     par = spark.sparkContext.defaultParallelism
     documents = t["documents"]
-    if documents.rdd.getNumPartitions() < par:
+    est = _estimated_scan_partitions(spark, f"{data_dir}/documents.parquet")
+    if est is None:
+        est = documents.rdd.getNumPartitions()
+    if est < par:
         documents = documents.repartition(par)
 
     # parse ONCE; the windowed view is a filter over the same plan so the

@@ -54,6 +54,37 @@ MEDIA_JSON = T.StructType(
 )
 
 # --------------------------------------------------------------------------
+# World-table DDLs (datagen.py layout) so the pipeline can read with
+# explicit schemas: parquet schema inference costs a footer read + JVM
+# round trip PER TABLE per run (~0.9 s across the seven tables,
+# measured r6) and contributes driver-serial time at any scale. Pinned
+# against datagen output by tests/test_datagen_guards.py.
+TABLE_DDL = {
+    "documents": (
+        "doc_id STRING, spans ARRAY<STRUCT<kind: STRING, text: STRING, "
+        "media_ref: STRING, offset: INT>>"
+    ),
+    "changesets": (
+        "changeset_id BIGINT, cs_uid BIGINT, open BOOLEAN, created_by STRING, "
+        "discussion ARRAY<STRUCT<uid: BIGINT, text: STRING>>"
+    ),
+    "users": "user_uid BIGINT, display_name STRING, changesets_count BIGINT",
+    "polygons": (
+        "polygon_id BIGINT, name STRING, alt_name STRING, admin_level STRING, "
+        "ring ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>"
+    ),
+    "streets": (
+        "way_id BIGINT, name STRING, alt_name STRING, "
+        "points ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>"
+    ),
+    "place_nodes": "node_id BIGINT, name STRING, lat DOUBLE, lon DOUBLE",
+    "elements_history": (
+        "element_type STRING, element_id BIGINT, valid_from BIGINT, "
+        "valid_to BIGINT, tags MAP<STRING, STRING>"
+    ),
+}
+
+# --------------------------------------------------------------------------
 # Parsed elements (engine-internal, long format). uid derivation per
 # reference overpass_entry.py:44-50.
 ELEMENTS = T.StructType(

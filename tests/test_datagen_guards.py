@@ -167,3 +167,18 @@ def test_bare_table_watermark_fallback_warns(spark, tmp_path):
             spark, str(world), checkpoint_dir=str(tmp_path / "c2"), persist=False
         )
     assert "commit" in out  # fallback still computes a window
+
+
+def test_table_ddl_matches_generated_schemas(spark, synth_dir):
+    """load_tables reads with the pinned TABLE_DDL schemas instead of
+    inferring; this guard fails if datagen's written schemas drift."""
+    from pyspark.sql.types import StructType
+
+    from osm_addr_bot_spark.schemas import TABLE_DDL
+
+    for name, ddl in TABLE_DDL.items():
+        inferred = spark.read.parquet(f"{synth_dir}/{name}.parquet").schema
+        pinned = StructType.fromDDL(ddl)
+        # nullability is writer-dependent; names/types/order must match
+        strip = lambda s: [(f.name, f.dataType.simpleString()) for f in s.fields]  # noqa: E731
+        assert strip(pinned) == strip(inferred), name
