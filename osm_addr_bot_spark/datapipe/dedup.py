@@ -195,6 +195,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # materialize the banded frame once: a self-join's two sides are
+    # otherwise two full computations of the signature aggregation
+    # (explode + per-shingle hashing + k-min agg) — broadcast hash
+    # joins have no exchange for ReuseExchange to dedupe (r6; the same
+    # lineage-truncation trade connected_components already documents)
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -240,7 +246,13 @@ def ngram_jaccard_pairs(
     the exact path (used by the oracle-parity query, where the corpus
     is known non-Zipfian).
     """
-    sh = exploded_shingles(docs, n, text_col, key, distinct=True)
+    # materialize the exploded distinct shingles once — they feed the
+    # sizes agg, the df cap agg, and BOTH sides of the inverted-index
+    # join (four consumers, each otherwise a full normalize+shingle
+    # +explode recomputation)
+    sh = exploded_shingles(docs, n, text_col, key, distinct=True).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     joinable = sh
     if max_df is not None:
@@ -393,6 +405,9 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.v")
+    # one computation of the upstream fingerprint aggregation for both
+    # self-join sides (see lsh_candidate_pairs)
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -456,9 +471,19 @@ def connected_components(
     ``stats``: optional dict the call fills with ``{"sweeps": n}`` so
     tests can pin sweep counts without a side channel.
     """
-    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetrize with ONE pass over pairs (explode of the two
+    # orientations) — union(pairs, pairs.swapped) computed the entire
+    # upstream pair generation twice
     edges = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -197,7 +197,12 @@ def winnow_overlap_pairs(
     overlap was only stop-fingerprints are missed (conservative).
     ``max_df=None`` is the exact path for known non-Zipfian corpora.
     """
-    fps = winnow_fingerprints(docs, text_col=text_col, key=key, k=k, window=window)
+    # materialize the fingerprints once — they feed the df cap and both
+    # join sides (three consumers, each otherwise a full re-hash of the
+    # corpus; same trade as dedup.ngram_jaccard_pairs)
+    fps = winnow_fingerprints(
+        docs, text_col=text_col, key=key, k=k, window=window
+    ).localCheckpoint(eager=False)
     joinable = fps
     if max_df is not None:
         rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
