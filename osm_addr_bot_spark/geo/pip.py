@@ -85,5 +85,70 @@ def ring_cover_udf(res: int):
 
 def polygons_with_cells(polygons: DataFrame, res: int) -> DataFrame:
     """Polygon dim exploded by covering cell — the build side of every
-    PIP join. At scale this is computed once and reused (cacheable)."""
-    return polygons.withColumn("_cell", F.explode(ring_cover_udf(res)(F.col("ring"))))
+    PIP join. At scale this is computed once and reused (cacheable).
+
+    r6: native lattice (bbox extents -> sequence explodes -> codegen'd
+    cell_expr -> 1-ring margin) instead of the pandas UDF — the cover
+    is a candidate SUPERSET refined by exact point_in_ring downstream,
+    so any valid cover yields identical stage output, and the UDF's
+    real cost was spawning Python workers inside the pipeline's first
+    broadcast builds (2 serial ~1.8 s single-task stages, r6 event-log
+    audit; the numpy form stays for tests/batch use). dropDuplicates
+    mirrors the UDF's np.unique so overlapping k-rings don't multiply
+    downstream PIP candidate pairs.
+    """
+    edge = hg.EDGE_M[res]
+    step_lat = (edge * 0.8) / 111_194.9
+    lats = F.transform(F.col("ring"), lambda v: v["lat"])
+    lons = F.transform(F.col("ring"), lambda v: v["lon"])
+    c = F.col
+    out_cols = polygons.columns
+    p = polygons.withColumns(
+        {
+            "_pc_la0": F.array_min(lats),
+            "_pc_la1": F.array_max(lats),
+            "_pc_lo0": F.array_min(lons),
+            "_pc_lo1": F.array_max(lons),
+        }
+    ).withColumn(
+        "_pc_slon",
+        F.lit(step_lat)
+        / F.greatest(F.cos(F.radians((c("_pc_la0") + c("_pc_la1")) / 2)), F.lit(0.1)),
+    )
+    p = (
+        p.withColumn(
+            "_pc_i",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil((c("_pc_la1") - c("_pc_la0")) / step_lat).cast("int"),
+                )
+            ),
+        )
+        .withColumn(
+            "_pc_j",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil((c("_pc_lo1") - c("_pc_lo0")) / c("_pc_slon")).cast("int"),
+                )
+            ),
+        )
+        .withColumn(
+            "_pc_base",
+            hg.cell_expr(
+                c("_pc_la0") + c("_pc_i") * step_lat,
+                c("_pc_lo0") + c("_pc_j") * c("_pc_slon"),
+                res,
+            ),
+        )
+        .withColumn("_cell", F.explode(hg.kring_expr(c("_pc_base"), 1)))
+    )
+    return p.select(*out_cols, "_cell").dropDuplicates([*out_cols_key(out_cols), "_cell"])
+
+
+def out_cols_key(cols: list[str]) -> list[str]:
+    """Dedup key for polygons_with_cells: the polygon identity column
+    (ring/struct columns can't key a dropDuplicates cheaply and
+    polygon_id is unique in the dim)."""
+    return ["polygon_id"] if "polygon_id" in cols else list(cols)
