@@ -37,6 +37,13 @@ def group_percentiles(
     arr = "array(" + ", ".join(f"{p!r}D" for p in percentiles) + ")"
     pct = F.expr(f"percentile({value_col}, {arr})")
     names = [f"p{int(round(p * 100))}" for p in percentiles]
+    if len(set(names)) != len(names):
+        # e.g. 0.5 and 0.501 both rounding to p50 — fail loudly instead
+        # of silently emitting duplicate column names (ADVICE r5)
+        raise ValueError(
+            f"percentiles {list(percentiles)} produce colliding column "
+            f"names {names}; use values that differ at integer percent"
+        )
     agg = df.groupBy(F.col(group_col).alias("grp")).agg(pct.alias("_pcts"))
     return agg.select(
         "grp",
@@ -70,6 +77,12 @@ def rollup_counts(
     rows. Rolled-up dimensions surface as the literal ``'ALL'`` (the
     oracle coalesces identically) and ``lvl`` carries the standard
     grouping bitmask (0 = leaf, 2^k - 1 = grand total).
+
+    ``lvl`` is the ONLY authoritative subtotal discriminator: a genuine
+    NULL (or literal 'ALL') value in a dimension column produces leaf
+    rows whose dimension text matches subtotal rows — consumers that
+    group or filter by the dimension strings alone can double-count;
+    filter on ``lvl`` first (ADVICE r5).
     """
     gcols = [F.col(c) for c in cols]
     out = df.rollup(*gcols).agg(

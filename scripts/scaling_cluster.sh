@@ -118,7 +118,11 @@ run_at() {
   # silently narrower cluster.
   local deadline=$((SECONDS + 60)) registered=0
   while (( SECONDS < deadline )); do
-    registered=$(grep -hc 'Registering worker' $MASTER_LOG_GLOB 2>/dev/null | head -1 || echo 0)
+    # sum across matched files (ADVICE r5: grep -hc prints one count PER
+    # file and head -1 kept an arbitrary one — a stale older master log
+    # matching the glob could satisfy the gate)
+    registered=$(cat $MASTER_LOG_GLOB 2>/dev/null | grep -c 'Registering worker' || true)
+    registered=${registered:-0}
     (( registered >= n_workers )) && break
     sleep 2
   done
@@ -155,8 +159,8 @@ run_at() {
   t1=$(python3 -c 'import time; print(time.time())')
   # record how many executors the master actually launched for this
   # app — the pair JSON self-describes its true width
-  grep -hc 'Launching executor' $MASTER_LOG_GLOB 2>/dev/null | head -1 \
-    > "/tmp/scaling_grants_${n_workers}" || echo 0 > "/tmp/scaling_grants_${n_workers}"
+  (cat $MASTER_LOG_GLOB 2>/dev/null | grep -c 'Launching executor' || true) \
+    > "/tmp/scaling_grants_${n_workers}"
   python3 -c "print($t1 - $t0)"
 }
 
