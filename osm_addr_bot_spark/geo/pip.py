@@ -4,8 +4,9 @@ The exact even-odd (ray casting) test is a single native expression:
 `F.aggregate` folds over the ring's edges counting crossings — it runs
 inside whole-stage codegen per candidate (point, polygon) pair, no UDF
 and no extra shuffle. Candidate pairs come from a hex-cell equi-join:
-polygons pre-explode their covering cells (pandas UDF, lattice sample
-of the bbox + 1-ring margin), points probe with their own cell.
+polygons pre-explode their covering cells (native bbox-lattice sample
++ 1-ring margin since r6; the numpy/pandas-UDF form remains for tests
+and batch pre-indexing), points probe with their own cell.
 
 This replaces the reference's remote `is_in` queries
 (reference overpass.py:112-140) with a cell-prefix hash join +
@@ -144,11 +145,7 @@ def polygons_with_cells(polygons: DataFrame, res: int) -> DataFrame:
         )
         .withColumn("_cell", F.explode(hg.kring_expr(c("_pc_base"), 1)))
     )
-    return p.select(*out_cols, "_cell").dropDuplicates([*out_cols_key(out_cols), "_cell"])
-
-
-def out_cols_key(cols: list[str]) -> list[str]:
-    """Dedup key for polygons_with_cells: the polygon identity column
-    (ring/struct columns can't key a dropDuplicates cheaply and
-    polygon_id is unique in the dim)."""
-    return ["polygon_id"] if "polygon_id" in cols else list(cols)
+    # dedup key: the polygon identity column when present (polygon_id is
+    # unique in the dim; keying the ring struct would be needlessly wide)
+    key = ["polygon_id"] if "polygon_id" in out_cols else list(out_cols)
+    return p.select(*out_cols, "_cell").dropDuplicates([*key, "_cell"])
